@@ -1,0 +1,90 @@
+"""Perspective (homography) inverse-warp resampling — replaces cv2.warpPerspective.
+
+cv2.warpPerspective(src, H, dsize) computes, for each destination pixel (x, y), the
+source location H^-1 (x, y, 1) and bilinearly samples with constant (zero) border.
+Here the same map runs as a gather-based bilinear sample over an (H, W) grid, batched
+over planes/vehicles with vmap. A Pallas tiled variant can slot in behind the same
+signature for the hot path.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def _bilinear_sample(img, xs, ys):
+    """Sample (H, W, C) image at float coords with zero padding outside."""
+    h, w = img.shape[0], img.shape[1]
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    fx = (xs - x0)[..., None]
+    fy = (ys - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xi_c = jnp.clip(xi, 0, w - 1)
+        yi_c = jnp.clip(yi, 0, h - 1)
+        vals = img[yi_c, xi_c]
+        return jnp.where(inb[..., None], vals, 0.0)
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+    top = v00 * (1.0 - fx) + v01 * fx
+    bot = v10 * (1.0 - fx) + v11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def warp_perspective(
+    img: jnp.ndarray, h_mat: jnp.ndarray, out_hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """cv2.warpPerspective equivalent: maps src through H onto an (out_h, out_w) canvas.
+
+    ``h_mat`` maps src -> dst (like cv2); sampling inverts it per destination pixel.
+    """
+    out_h, out_w = out_hw
+    h_inv = jnp.linalg.inv(h_mat)
+    ys = jnp.arange(out_h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(out_w, dtype=jnp.float32)[None, :]
+    ones = jnp.ones((out_h, out_w), jnp.float32)
+    xs_b = jnp.broadcast_to(xs, (out_h, out_w))
+    ys_b = jnp.broadcast_to(ys, (out_h, out_w))
+    denom = h_inv[2, 0] * xs_b + h_inv[2, 1] * ys_b + h_inv[2, 2] * ones
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    src_x = (h_inv[0, 0] * xs_b + h_inv[0, 1] * ys_b + h_inv[0, 2]) / denom
+    src_y = (h_inv[1, 0] * xs_b + h_inv[1, 1] * ys_b + h_inv[1, 2]) / denom
+    return _bilinear_sample(img, src_x, src_y)
+
+
+def warp_affine_resample(
+    img: jnp.ndarray,
+    src_center: jnp.ndarray,
+    src_side: jnp.ndarray,
+    out_size: int,
+) -> jnp.ndarray:
+    """Resample a square window (center, side) of ``img`` directly to out_size².
+
+    Fuses the reference's square_crop_from_bbox + cv2.resize(256²) pair
+    (utils/crop_utils.py:4-52 + trajectory_inference.py:60) into a single fixed-shape
+    gather — the key trick that makes per-vehicle crops jittable with static shapes.
+    Areas outside the image are zero (the reference zero-pads).
+
+    Sampling uses cv2.resize's half-pixel convention applied to the window:
+    src = window_min + (dst + 0.5) * side / out - 0.5.
+    """
+    x_min = src_center[0] - src_side / 2.0
+    y_min = src_center[1] - src_side / 2.0
+    scale = src_side / out_size
+    coords = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+    # Clamp to the window interior: cv2.resize on a crop replicates the crop's edge
+    # rows/cols, so samples never blend with image content outside the window.
+    coords = jnp.clip(coords, 0.0, src_side - 1.0)
+    xs = x_min + coords[None, :]
+    ys = y_min + coords[:, None]
+    xs = jnp.broadcast_to(xs, (out_size, out_size))
+    ys = jnp.broadcast_to(ys, (out_size, out_size))
+    return _bilinear_sample(img, xs, ys)
