@@ -1,0 +1,315 @@
+"""Torch-convention neural building blocks in Flax (NHWC, XLA/MXU-friendly).
+
+Every reference network is a CNN built from a small set of torch layers. This module
+provides flax.linen equivalents whose numerics match torch exactly (verified in
+tests/test_layers.py), so converted checkpoints reproduce reference activations:
+
+* zero / reflection padding + cross-correlation conv (torch Conv2d);
+* transposed conv with torch's (k, s, p, output_padding) arithmetic;
+* instance norm (affine-free, biased variance — torch InstanceNorm2d defaults);
+* the Warp&Learn custom "LayerNorm" that normalizes over ALL dims per sample with an
+  UNBIASED std and divides by (std + eps) (warp_learn/models.py:15-35);
+* batch norm with running stats (inference mode);
+* weight-normalized conv (torch weight_norm dim=0 — per-output-channel norm);
+* TF-ordered depth<->space (the VUNet gist code, NOT torch.pixel_shuffle — verified
+  empirically: channel groups are (r1, r2, c));
+* torch-convention pooling (max 2x2; count_include_pad=False average pool).
+
+All modules run in NHWC with HWIO kernels: the natural TPU layout, with the conversion
+from torch's NCHW/OIHW done once at checkpoint-conversion time.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+# ---------------------------------------------------------------------------
+# Padding + activations
+# ---------------------------------------------------------------------------
+
+def reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """torch nn.ReflectionPad2d(pad) on NHWC."""
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+
+def zero_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+
+
+def activation(name: Optional[str]):
+    """Named activation matching the reference's choices."""
+    return {
+        None: lambda x: x,
+        "none": lambda x: x,
+        "relu": jax.nn.relu,
+        "lrelu": lambda x: jax.nn.leaky_relu(x, 0.2),
+        "elu": jax.nn.elu,
+        "selu": jax.nn.selu,
+        "tanh": jnp.tanh,
+        "sigmoid": jax.nn.sigmoid,
+    }[name]
+
+
+# ---------------------------------------------------------------------------
+# Convolutions
+# ---------------------------------------------------------------------------
+
+class TorchConv(nn.Module):
+    """torch nn.Conv2d equivalent: zero padding, cross-correlation, bias.
+
+    kernel param layout is HWIO (converted once from torch OIHW). Params live at this
+    module's own level (kernel/bias) so flax param paths mirror torch state-dict keys
+    one-to-one — the mechanical checkpoint converter depends on this.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, k, in_ch, self.features)
+        )
+        out = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + bias
+        return out
+
+
+class TorchLinear(nn.Module):
+    """torch nn.Linear: kernel stored (in, out) (transposed from torch at conversion)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
+        )
+        out = x @ kernel
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros, (self.features,))
+        return out
+
+
+class TorchConvTranspose(nn.Module):
+    """torch nn.ConvTranspose2d(k, s, p, output_padding) equivalent.
+
+    Implemented as an input-dilated forward convolution with spatially flipped,
+    in/out-swapped kernels: out = conv(dilate_s(x), flip(W)), padded (k-1-p) low and
+    (k-1-p+op) high. kernel param layout: (kh, kw, in, out) — torch's (in, out, kh, kw)
+    moved to spatial-major at conversion time.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, in_ch, self.features),
+        )
+        w = jnp.flip(kernel, axis=(0, 1))
+        lo = k - 1 - self.padding
+        hi = k - 1 - self.padding + self.output_padding
+        out = jax.lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(1, 1),
+            padding=((lo, hi), (lo, hi)),
+            lhs_dilation=(self.stride, self.stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + bias
+        return out
+
+
+class WNConv(nn.Module):
+    """Weight-normalized conv (torch weight_norm(conv, dim=0)): w = g * v / ||v||,
+    norm taken per output channel over (kh, kw, in). Used throughout VUNet
+    (vunet/layers.py:21-39)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        v = self.param("v", nn.initializers.lecun_normal(), (k, k, in_ch, self.features))
+        g = self.param("g", nn.initializers.ones, (self.features,))
+        norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1, 2), keepdims=True) + 1e-24)
+        w = v / norm * g
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        out = jax.lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bias
+
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """torch nn.InstanceNorm2d(C) defaults: affine=False, biased variance, per-sample
+    per-channel normalization over spatial dims."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+class WarpLearnLayerNorm(nn.Module):
+    """The ICN's custom LayerNorm (warp_learn/models.py:15-35): per-sample statistics
+    over ALL of (H, W, C), UNBIASED std, divides by (std + eps), per-channel affine."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        n = x[0].size
+        mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+        var = jnp.var(x, axis=(1, 2, 3), keepdims=True) * (n / max(n - 1, 1))
+        std = jnp.sqrt(var)
+        x = (x - mean) / (std + self.eps)
+        gamma = self.param("gamma", nn.initializers.uniform(scale=1.0), (self.features,))
+        beta = self.param("beta", nn.initializers.zeros, (self.features,))
+        return x * gamma + beta
+
+
+class TorchBatchNorm(nn.Module):
+    """torch nn.BatchNorm2d in inference mode: running stats + affine."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.ones, (self.features,))
+        beta = self.param("beta", nn.initializers.zeros, (self.features,))
+        mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
+        var = self.param("running_var", nn.initializers.ones, (self.features,))
+        return (x - mean) * jax.lax.rsqrt(var + self.eps) * gamma + beta
+
+
+# ---------------------------------------------------------------------------
+# Pooling / resampling
+# ---------------------------------------------------------------------------
+
+def max_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    """torch nn.MaxPool2d(2, stride=2)."""
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+def avg_pool_torch(
+    x: jnp.ndarray, window: int = 3, stride: int = 2, padding: int = 1
+) -> jnp.ndarray:
+    """torch nn.AvgPool2d(window, stride, padding, count_include_pad=False)
+    (the multi-scale discriminator's downsampler, warp_learn/models.py:217)."""
+    sums = jax.lax.reduce_window(
+        x,
+        0.0,
+        jax.lax.add,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+    ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
+    counts = jax.lax.reduce_window(
+        ones,
+        0.0,
+        jax.lax.add,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+    return sums / counts
+
+
+def depth_to_space(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """VUNet's DepthToSpace (vunet/layers.py:173-196): TF channel ordering — channel
+    groups are (r1, r2, c), NOT torch.pixel_shuffle's (c, r1, r2). NHWC."""
+    b, h, w, c = x.shape
+    c_out = c // (block * block)
+    x = x.reshape(b, h, w, block, block, c_out)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # b, h, r1, w, r2, c
+    return x.reshape(b, h * block, w * block, c_out)
+
+
+def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """Inverse of depth_to_space (vunet/layers.py:199-221)."""
+    b, h, w, c = x.shape
+    h_out, w_out = h // block, w // block
+    x = x.reshape(b, h_out, block, w_out, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # b, h', w', r1, r2, c
+    return x.reshape(b, h_out, w_out, block * block * c)
+
+
+def adaptive_avg_pool(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """torch nn.AdaptiveAvgPool2d on NHWC: output cell (i, j) averages input window
+    [floor(i*H/oh), ceil((i+1)*H/oh)) x [floor(j*W/ow), ceil((j+1)*W/ow))."""
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = out_hw
+    rows = []
+    for i in range(oh):
+        y0, y1 = (i * h) // oh, -(-((i + 1) * h) // oh)
+        cols = []
+        for j in range(ow):
+            x0, x1 = (j * w) // ow, -(-((j + 1) * w) // ow)
+            cols.append(jnp.mean(x[..., y0:y1, x0:x1, :], axis=(-3, -2)))
+        rows.append(jnp.stack(cols, axis=-2))
+    return jnp.stack(rows, axis=-3)
+
+
+def upsample2x_nearest_nhwc(x: jnp.ndarray) -> jnp.ndarray:
+    """torch nn.Upsample(scale_factor=2) (nearest) on NHWC."""
+    x = jnp.repeat(x, 2, axis=1)
+    return jnp.repeat(x, 2, axis=2)
+
+
+def dropout2d(x: jnp.ndarray, rate: float, rng, deterministic: bool) -> jnp.ndarray:
+    """torch nn.Dropout2d: zeroes entire channels per sample, scales by 1/(1-p)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, (x.shape[0], 1, 1, x.shape[-1]))
+    return jnp.where(keep, x / (1.0 - rate), 0.0)

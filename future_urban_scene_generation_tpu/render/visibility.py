@@ -1,0 +1,88 @@
+"""Texture-plane topology and painter's-algorithm plane visibility.
+
+Parity target: warp_learn/online_visibility.py:9-150. The 5 textured planes plus the
+two synthetic bottom planes (front_bt/back_bt, occlusion-only) are encoded as index
+arrays into the canonical 12-keypoint order (utils/keypoints.py), padded to 6 vertices
+by repeating the last (zero-length edges are inert in the rasterizer).
+
+Visibility of plane p: rasterize p's polygon, subtract the union of polygons of planes
+strictly closer to the camera (3D distance of plane centroid to camera center), and
+call p visible iff the remaining area exceeds 0.9x its full area
+(online_visibility.py:137-148).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from future_urban_scene_generation_tpu.ops.polygon import fill_polygon
+
+# Canonical keypoint indices per plane (see utils/keypoints.py KEYPOINT_NAMES), in the
+# reference's dict insertion order: left, right, roof, front, back
+# (warp_learn/online_visibility.py:9-25). -1 pads 4-gons to 6 vertices.
+PLANE_NAMES = ("left", "right", "roof", "front", "back")
+TEXTURE_PLANES = np.array(
+    [
+        [0, 1, 3, 2, 9, 8],  # left
+        [4, 5, 7, 6, 11, 10],  # right
+        [8, 9, 11, 10, 10, 10],  # roof
+        [2, 6, 11, 9, 9, 9],  # front
+        [0, 4, 10, 8, 8, 8],  # back
+    ],
+    dtype=np.int32,
+)
+# Occlusion-only bottom planes appended for visibility computation
+# (online_visibility.py:110-114).
+OCCLUSION_PLANES = np.array(
+    [
+        [2, 6, 7, 3, 3, 3],  # front_bt
+        [0, 4, 5, 1, 1, 1],  # back_bt
+    ],
+    dtype=np.int32,
+)
+ALL_PLANES = np.concatenate([TEXTURE_PLANES, OCCLUSION_PLANES], axis=0)  # (7, 6)
+SYMMETRY_PAIR = (0, 1)  # (left, right) indices in TEXTURE_PLANES
+NUM_TEXTURE_PLANES = TEXTURE_PLANES.shape[0]
+
+
+def plane_polygons_2d(kpoints_2d: jnp.ndarray, planes_idx=ALL_PLANES) -> jnp.ndarray:
+    """Gather (P, 6, 2) polygon vertices from (12, 2) keypoints."""
+    return kpoints_2d[jnp.asarray(planes_idx)]
+
+
+def camera_plane_distances(extrinsic: jnp.ndarray, kpoints_3d: jnp.ndarray) -> jnp.ndarray:
+    """3D distance from the camera center to each plane's keypoint centroid
+    (online_visibility.py:59-75)."""
+    cam_pos = jnp.linalg.inv(extrinsic)[:3, 3]
+    centroids = jnp.mean(kpoints_3d[jnp.asarray(ALL_PLANES)], axis=1)  # (7, 3)
+    return jnp.linalg.norm(centroids - cam_pos, axis=1)
+
+
+def compute_visibility(
+    extrinsic: jnp.ndarray,
+    kpoints_2d: jnp.ndarray,
+    kpoints_3d: jnp.ndarray,
+    hw: Tuple[int, int],
+) -> jnp.ndarray:
+    """Visibility of the 7 planes; returns (7,) bool (first 5 are the texture planes).
+
+    kpoints_2d in pixel coordinates of an (h, w) canvas. The canvas resolution only
+    enters through area ratios, so a downscaled grid may be used for speed as long as
+    kpoints_2d is scaled accordingly.
+    """
+    h, w = hw
+    polys = plane_polygons_2d(kpoints_2d)  # (7, 6, 2)
+    masks = jax.vmap(lambda p: fill_polygon(p, h, w))(polys)  # (7, h, w)
+    dists = camera_plane_distances(extrinsic, kpoints_3d)  # (7,)
+
+    closer = dists[:, None] > dists[None, :]  # closer[p, q]: q strictly closer than p
+    # Union of closer planes' masks per plane p.
+    occluders = jnp.any(masks[None, :, :, :] & closer[:, :, None, None], axis=1)
+    remaining = masks & jnp.logical_not(occluders)
+
+    absolute_area = jnp.sum(masks, axis=(1, 2))
+    remaining_area = jnp.sum(remaining, axis=(1, 2))
+    return remaining_area > 0.9 * absolute_area

@@ -1,0 +1,189 @@
+"""Layer-level numerical parity vs torch primitives — the foundation of model parity."""
+import numpy as np
+import torch
+import torch.nn.functional as F
+import jax
+import jax.numpy as jnp
+
+from future_urban_scene_generation_tpu.models import layers as L
+
+rng = np.random.RandomState(8)
+
+
+def _nchw(x_nhwc):
+    return torch.from_numpy(np.ascontiguousarray(x_nhwc.transpose(0, 3, 1, 2)))
+
+
+def _nhwc(t_nchw):
+    return t_nchw.detach().numpy().transpose(0, 2, 3, 1)
+
+
+def test_conv_matches_torch():
+    x = rng.randn(2, 16, 16, 5).astype(np.float32)
+    w = rng.randn(7, 5, 3, 3).astype(np.float32)  # OIHW
+    b = rng.randn(7).astype(np.float32)
+    ref = F.conv2d(_nchw(x), torch.from_numpy(w), torch.from_numpy(b), stride=2, padding=1)
+    mod = L.TorchConv(features=7, kernel_size=3, stride=2, padding=1)
+    params = {"params": {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0)), "bias": jnp.asarray(b)}}
+    ours = np.asarray(mod.apply(params, jnp.asarray(x)))
+    assert np.abs(ours - _nhwc(ref)).max() < 1e-4
+
+
+def test_reflect_pad_conv_matches_torch():
+    x = rng.randn(1, 10, 10, 4).astype(np.float32)
+    w = rng.randn(6, 4, 7, 7).astype(np.float32)
+    ref = F.conv2d(F.pad(_nchw(x), (3, 3, 3, 3), mode="reflect"), torch.from_numpy(w))
+    mod = L.TorchConv(features=6, kernel_size=7, use_bias=False)
+    params = {"params": {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0))}}
+    ours = np.asarray(mod.apply(params, L.reflect_pad(jnp.asarray(x), 3)))
+    assert np.abs(ours - _nhwc(ref)).max() < 1e-4
+
+
+def test_dilated_conv_matches_torch():
+    x = rng.randn(1, 12, 12, 4).astype(np.float32)
+    w = rng.randn(4, 4, 3, 3).astype(np.float32)
+    ref = F.conv2d(_nchw(x), torch.from_numpy(w), dilation=2, padding=2)
+    mod = L.TorchConv(features=4, kernel_size=3, padding=2, dilation=2, use_bias=False)
+    params = {"params": {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0))}}
+    ours = np.asarray(mod.apply(params, jnp.asarray(x)))
+    assert np.abs(ours - _nhwc(ref)).max() < 1e-4
+
+
+def test_conv_transpose_k4s2p1_matches_torch():
+    # EdgeConnect decoder convs (edgeconnect/networks.py:64,68).
+    x = rng.randn(2, 8, 8, 5).astype(np.float32)
+    w = rng.randn(5, 6, 4, 4).astype(np.float32)  # torch convT: (in, out, kh, kw)
+    b = rng.randn(6).astype(np.float32)
+    ref = F.conv_transpose2d(_nchw(x), torch.from_numpy(w), torch.from_numpy(b), stride=2, padding=1)
+    mod = L.TorchConvTranspose(features=6, kernel_size=4, stride=2, padding=1)
+    params = {"params": {"kernel": jnp.asarray(w.transpose(2, 3, 0, 1)), "bias": jnp.asarray(b)}}
+    ours = np.asarray(mod.apply(params, jnp.asarray(x)))
+    assert ours.shape == (2, 16, 16, 6)
+    assert np.abs(ours - _nhwc(ref)).max() < 1e-4
+
+
+def test_conv_transpose_k3s2p1op1_matches_torch():
+    # VUNet DeConv2d (vunet/layers.py:61-80).
+    x = rng.randn(1, 8, 8, 4).astype(np.float32)
+    w = rng.randn(4, 3, 3, 3).astype(np.float32)
+    ref = F.conv_transpose2d(_nchw(x), torch.from_numpy(w), stride=2, padding=1, output_padding=1)
+    mod = L.TorchConvTranspose(features=3, kernel_size=3, stride=2, padding=1, output_padding=1, use_bias=False)
+    params = {"params": {"kernel": jnp.asarray(w.transpose(2, 3, 0, 1))}}
+    ours = np.asarray(mod.apply(params, jnp.asarray(x)))
+    assert ours.shape == (1, 16, 16, 3)
+    assert np.abs(ours - _nhwc(ref)).max() < 1e-4
+
+
+def test_instance_norm_matches_torch():
+    x = rng.randn(2, 9, 11, 6).astype(np.float32) * 3 + 1
+    ref = torch.nn.InstanceNorm2d(6, track_running_stats=False)(_nchw(x))
+    ours = np.asarray(L.instance_norm(jnp.asarray(x)))
+    assert np.abs(ours - _nhwc(ref)).max() < 1e-4
+
+
+def test_warp_learn_layernorm_matches_reference_formula():
+    # Reference normalizes with x.view(b,-1).std(1) (unbiased) and divides by std+eps
+    # (warp_learn/models.py:26-35).
+    x = rng.randn(3, 5, 5, 4).astype(np.float32) * 2
+    gamma = rng.rand(4).astype(np.float32)
+    beta = rng.randn(4).astype(np.float32)
+    xt = _nchw(x)
+    mean = xt.reshape(3, -1).mean(1).reshape(3, 1, 1, 1)
+    std = xt.reshape(3, -1).std(1).reshape(3, 1, 1, 1)
+    ref = (xt - mean) / (std + 1e-5)
+    ref = ref * torch.from_numpy(gamma).reshape(1, 4, 1, 1) + torch.from_numpy(beta).reshape(1, 4, 1, 1)
+    mod = L.WarpLearnLayerNorm(features=4)
+    params = {"params": {"gamma": jnp.asarray(gamma), "beta": jnp.asarray(beta)}}
+    ours = np.asarray(mod.apply(params, jnp.asarray(x)))
+    assert np.abs(ours - _nhwc(ref)).max() < 1e-4
+
+
+def test_batchnorm_inference_matches_torch():
+    x = rng.randn(2, 6, 6, 8).astype(np.float32)
+    bn = torch.nn.BatchNorm2d(8).eval()
+    with torch.no_grad():
+        bn.weight.copy_(torch.from_numpy(rng.rand(8).astype(np.float32)))
+        bn.bias.copy_(torch.from_numpy(rng.randn(8).astype(np.float32)))
+        bn.running_mean.copy_(torch.from_numpy(rng.randn(8).astype(np.float32)))
+        bn.running_var.copy_(torch.from_numpy(rng.rand(8).astype(np.float32) + 0.5))
+    ref = bn(_nchw(x))
+    params = {
+        "params": {
+            "gamma": jnp.asarray(bn.weight.detach().numpy()),
+            "beta": jnp.asarray(bn.bias.detach().numpy()),
+            "running_mean": jnp.asarray(bn.running_mean.numpy()),
+            "running_var": jnp.asarray(bn.running_var.numpy()),
+        }
+    }
+    ours = np.asarray(L.TorchBatchNorm(features=8).apply(params, jnp.asarray(x)))
+    assert np.abs(ours - _nhwc(ref)).max() < 1e-4
+
+
+def test_weight_norm_conv_matches_torch():
+    conv = torch.nn.Conv2d(5, 7, 3, stride=1, padding=1, bias=True)
+    conv = torch.nn.utils.weight_norm(conv, dim=0)
+    x = rng.randn(2, 10, 10, 5).astype(np.float32)
+    ref = conv(_nchw(x))
+    v = conv.weight_v.detach().numpy()  # (out, in, kh, kw)
+    g = conv.weight_g.detach().numpy().reshape(-1)
+    b = conv.bias.detach().numpy()
+    params = {
+        "params": {
+            "v": jnp.asarray(v.transpose(2, 3, 1, 0)),
+            "g": jnp.asarray(g),
+            "bias": jnp.asarray(b),
+        }
+    }
+    ours = np.asarray(
+        L.WNConv(features=7, kernel_size=3, padding=1).apply(params, jnp.asarray(x))
+    )
+    assert np.abs(ours - _nhwc(ref)).max() < 1e-4
+
+
+def test_maxpool_matches_torch():
+    x = rng.randn(2, 12, 12, 3).astype(np.float32)
+    ref = F.max_pool2d(_nchw(x), 2, stride=2)
+    ours = np.asarray(L.max_pool2(jnp.asarray(x)))
+    assert np.array_equal(ours, _nhwc(ref))
+
+
+def test_avgpool_torch_semantics():
+    x = rng.randn(2, 9, 9, 3).astype(np.float32)
+    ref = torch.nn.AvgPool2d(3, stride=2, padding=1, count_include_pad=False)(_nchw(x))
+    ours = np.asarray(L.avg_pool_torch(jnp.asarray(x)))
+    assert np.abs(ours - _nhwc(ref)).max() < 1e-5
+
+
+def test_depth_to_space_matches_vunet_gist():
+    # Empirically verified: the VUNet gist == TF ordering (r1, r2, c) — NOT pixel_shuffle.
+    x = rng.randn(2, 3, 5, 8).astype(np.float32)
+    out = np.asarray(L.depth_to_space(jnp.asarray(x), 2))
+    import einops
+
+    ref = einops.rearrange(x, "b h w (r1 r2 c) -> b (h r1) (w r2) c", r1=2, r2=2)
+    assert np.array_equal(out, ref)
+
+
+def test_space_to_depth_inverse():
+    x = rng.randn(2, 6, 10, 8).astype(np.float32)
+    back = np.asarray(L.depth_to_space(L.space_to_depth(jnp.asarray(x), 2), 2))
+    assert np.array_equal(back, x)
+
+
+def test_dropout2d_channel_structure():
+    x = jnp.ones((4, 8, 8, 16))
+    out = L.dropout2d(x, 0.5, jax.random.PRNGKey(0), deterministic=False)
+    out = np.asarray(out)
+    # Each (sample, channel) map is either all zero or all 2.0.
+    per_chan = out.reshape(4, 64, 16)
+    assert set(np.unique(per_chan)).issubset({0.0, 2.0})
+    assert np.all((per_chan.min(1) == per_chan.max(1)))
+    # Deterministic mode is identity.
+    assert np.array_equal(np.asarray(L.dropout2d(x, 0.5, jax.random.PRNGKey(0), True)), np.asarray(x))
+
+
+def test_elu_matches_torch():
+    x = rng.randn(100).astype(np.float32) * 3
+    ref = F.elu(torch.from_numpy(x)).numpy()
+    ours = np.asarray(L.activation("elu")(jnp.asarray(x)))
+    assert np.abs(ours - ref).max() < 1e-6
