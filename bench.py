@@ -1,0 +1,124 @@
+"""Headline benchmark: composited future-frame throughput of the full jitted pipeline.
+
+Runs the end-to-end synthesis slice (perception-oracle -> PnP -> rollout -> render ->
+visibility -> plane warp -> ICN + VUNet -> composite) on a synthetic 1080p scene with
+V=4 vehicles and 6 future steps, on the default device (the real TPU chip under the
+driver). Prints ONE JSON line:
+
+  {"metric": "composited_1080p_frames_per_sec", "value": N, "unit": "frames/s",
+   "vs_baseline": N / 100}
+
+vs_baseline is relative to the BASELINE.md north-star target of >= 100 composited
+1080p frames/s (on v5e-8; this measures a single chip).
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from future_urban_scene_generation_tpu.geometry.projection import (
+        project_points_extrinsic,
+    )
+    from future_urban_scene_generation_tpu.geometry.rotations import x_rot, z_rot
+    from future_urban_scene_generation_tpu.ops import crop as cr
+    from future_urban_scene_generation_tpu.pipeline import runner, stages
+    from future_urban_scene_generation_tpu.utils import mesh as mu
+
+    H, W = 1080, 1920
+    V = 4  # vehicles
+    T = 6  # trajectory points -> 6 composited frames per branch
+    K = np.array(
+        [[1400.0, 0, W / 2], [0, 1400.0, H / 2], [0, 0, 1]], dtype=np.float32
+    )
+
+    mesh, kp3d = mu.make_test_car(subdiv=3)
+    cad_bank = runner.build_cad_bank([mesh] * 2, [kp3d] * 2, scale=5.0)
+
+    rng = np.random.RandomState(0)
+    frame = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
+    background = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
+
+    # V vehicles at staggered poses with oracle keypoints.
+    exts, kp2ds, bboxes = [], [], []
+    for v in range(V):
+        ext = np.eye(4, dtype=np.float32)
+        ext[:3, :3] = np.asarray(
+            x_rot(jnp.float32(-np.pi / 2.4)) @ z_rot(jnp.float32(0.4 + 0.3 * v))
+        )
+        ext[:3, 3] = [(-6 + 4 * v), 2.0, 25.0 + 3 * v]
+        kp2d = np.asarray(
+            project_points_extrinsic(
+                cad_bank.keypoints3d[0], jnp.asarray(K), jnp.asarray(ext)
+            )
+        )
+        exts.append(ext)
+        kp2ds.append(kp2d)
+        x0, y0 = kp2d.min(0)
+        x1, y1 = kp2d.max(0)
+        bboxes.append([x0 - 5, y0 - 5, x1 + 5, y1 + 5])
+    bboxes = jnp.asarray(np.float32(bboxes))
+    kp2ds = jnp.asarray(np.float32(np.stack(kp2ds)))
+
+    window = jax.vmap(cr.square_window_from_bbox)(bboxes)
+    crops = jax.vmap(lambda w: cr.crop_resize(frame, w, 256))(window)
+    perception = stages.Perception(
+        cad_idx=jnp.zeros(V, jnp.int32),
+        kp_frame=kp2ds,
+        window=window,
+        crop=crops,
+    )
+
+    t = np.linspace(0, 6.0, T)
+    meters = np.stack(
+        [np.stack([t * np.cos(0.2 * v), t * np.sin(0.2 * v)], -1) for v in range(V)]
+    )
+    meters = jnp.asarray(np.float32(meters))
+
+    key = jax.random.PRNGKey(0)
+    cadm, hgm, icnm, vunm = stages.Models.modules()
+    dummy = jnp.zeros((1, 256, 256, 3))
+    models = stages.Models(
+        cad_params=jax.jit(cadm.init)(key, dummy),
+        hourglass_params=jax.jit(hgm.init)(key, dummy),
+        icn_params=jax.jit(icnm.init)(key, jnp.zeros((1, 256, 256, 21))),
+        vunet_params=jax.jit(lambda k: vunm.init(
+            {"params": k}, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1, 256, 256, 6)),
+            cov=0.0,
+        ))(key),
+    )
+
+    run = lambda: runner.synthesize_scene(  # noqa: E731
+        models, cad_bank, frame, background, perception, meters, jnp.asarray(K),
+        vis_scale=0.25,
+    )
+    result = run()
+    jax.block_until_ready(result.frames_icn)  # compile + warm
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        result = run()
+    jax.block_until_ready(result.frames_icn)
+    dt = (time.perf_counter() - t0) / iters
+
+    frames_per_scene = 2 * T  # both generator branches composite T frames each
+    fps = frames_per_scene / dt
+    print(
+        json.dumps(
+            {
+                "metric": "composited_1080p_frames_per_sec",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 100.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Pluggable vehicle-segmentation interface for the inpainting branch.
+
+The reference runs torchvision Mask R-CNN per vehicle crop and keeps the top-scoring
+car/truck mask (run_test.py:41-43, trajectory_inference.py:115-119). Detection is the
+one reference model with data-dependent shapes, so the framework makes it a pluggable
+stage (SURVEY §7 hard part #1) with three implementations:
+
+* ``MeshSilhouetteSegmenter`` — the framework-native default: the pipeline already
+  knows the vehicle's posed CAD mesh, so the rasterized silhouette (dilated for
+  slack) is a better-grounded mask than a detector's, with zero extra models;
+* ``BackgroundDiffSegmenter`` — |frame - background| thresholding for static-camera
+  scenes (CityFlow cameras are static);
+* ``HostDetectorSegmenter`` — adapter for any host callback (e.g. a torch Mask R-CNN
+  on CPU) returning a binary mask, for strict reference parity.
+
+All produce fixed-shape (H, W) bool masks; device implementations are jittable.
+"""
+from __future__ import annotations
+
+from typing import Callable, Protocol
+
+import jax.numpy as jnp
+import numpy as np
+
+from future_urban_scene_generation_tpu.ops.morphology import dilate, elliptical_kernel
+
+
+class Segmenter(Protocol):
+    def __call__(self, frame: jnp.ndarray, bbox_xyxy: jnp.ndarray, **context) -> jnp.ndarray:
+        """Return an (H, W) bool vehicle mask for the given frame/bbox."""
+        ...
+
+
+class MeshSilhouetteSegmenter:
+    """Mask = the posed mesh silhouette rendered at frame scale, optionally dilated."""
+
+    def __init__(self, dilate_ksize: int = 8):
+        self.kernel = elliptical_kernel(dilate_ksize) if dilate_ksize else None
+
+    def __call__(self, frame, bbox_xyxy, *, silhouette_frame=None, **_):
+        if silhouette_frame is None:
+            raise ValueError("MeshSilhouetteSegmenter needs silhouette_frame context")
+        mask = silhouette_frame
+        if self.kernel is not None:
+            mask = dilate(mask, self.kernel)
+        return mask
+
+
+class BackgroundDiffSegmenter:
+    """Threshold |frame - background| within the bbox; static-camera scenes only."""
+
+    def __init__(self, background: jnp.ndarray, threshold: float = 0.12,
+                 dilate_ksize: int = 8):
+        self.background = background
+        self.threshold = threshold
+        self.kernel = elliptical_kernel(dilate_ksize) if dilate_ksize else None
+
+    def __call__(self, frame, bbox_xyxy, **_):
+        h, w = frame.shape[0], frame.shape[1]
+        diff = jnp.sum(jnp.abs(frame - self.background), axis=-1) > self.threshold
+        xs = jnp.arange(w)[None, :]
+        ys = jnp.arange(h)[:, None]
+        inside = (
+            (xs >= bbox_xyxy[0]) & (xs <= bbox_xyxy[2])
+            & (ys >= bbox_xyxy[1]) & (ys <= bbox_xyxy[3])
+        )
+        mask = diff & inside
+        if self.kernel is not None:
+            mask = dilate(mask, self.kernel)
+        return mask
+
+
+class HostDetectorSegmenter:
+    """Adapter for a host-side detector callback (numpy in, numpy out)."""
+
+    def __init__(self, detect_fn: Callable[[np.ndarray, np.ndarray], np.ndarray]):
+        self.detect_fn = detect_fn
+
+    def __call__(self, frame, bbox_xyxy, **_):
+        mask = self.detect_fn(np.asarray(frame), np.asarray(bbox_xyxy))
+        return jnp.asarray(mask.astype(bool))

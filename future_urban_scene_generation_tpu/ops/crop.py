@@ -1,0 +1,140 @@
+"""Square-crop windows with the reference's exact integer semantics, as fixed-shape
+resampling ops.
+
+The reference crops dynamically-sized windows then resizes (utils/crop_utils.py:4-52 +
+cv2.resize) — shapes depend on the bbox, which breaks jit. Here a crop is described by
+a `Window` (x_start, y_start, w, h in frame coords, computed with the reference's
+int-truncation arithmetic) and the pixels move through a single fused gather:
+frame -> out_size^2 directly, zero filled outside the frame (the reference zero-pads).
+
+The inverse direction (`stitch`) resamples a synthesized out_size^2 crop back onto the
+frame through the window — replacing the reference's resize + unpad + paste chain
+(trajectory_inference.py:185-198) with one gather selected by a mask.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from future_urban_scene_generation_tpu.ops.warp import _bilinear_sample
+
+
+class Window(NamedTuple):
+    """A crop window in frame coordinates. All fields are integer-valued floats."""
+
+    x_start: jnp.ndarray  # may be negative (window hangs off the frame)
+    y_start: jnp.ndarray
+    w: jnp.ndarray
+    h: jnp.ndarray
+
+    @property
+    def scale(self):
+        """The 'scale' metadata = major_side / 200 (crop_utils.py:25)."""
+        return jnp.maximum(self.w, self.h) / 200.0
+
+
+def square_window_from_bbox(bbox_xyxy) -> Window:
+    """Reference square crop window: side = 1.1 * max(w, h) about the bbox center,
+    with int truncation exactly as utils/crop_utils.py:20-47.
+
+    Works on traced values; bbox floats in frame coords.
+    """
+    x_min, y_min, x_max, y_max = (
+        bbox_xyxy[..., 0], bbox_xyxy[..., 1], bbox_xyxy[..., 2], bbox_xyxy[..., 3]
+    )
+    side_x = x_max - x_min
+    side_y = y_max - y_min
+    major = 1.1 * jnp.maximum(side_x, side_y)
+    cx = x_min + side_x / 2.0
+    cy = y_min + side_y / 2.0
+    # int() truncates toward zero.
+    x0 = jnp.trunc(cx - major / 2.0)
+    y0 = jnp.trunc(cy - major / 2.0)
+    x1 = jnp.trunc(cx + major / 2.0)
+    y1 = jnp.trunc(cy + major / 2.0)
+    return Window(x0, y0, x1 - x0, y1 - y0)
+
+
+def crop_resize(frame: jnp.ndarray, window: Window, out_size: int) -> jnp.ndarray:
+    """Resample the window to (out_size, out_size, C), zero outside the frame,
+    replicating at the window edge (cv2.resize on a zero-padded crop)."""
+    sx = window.w / out_size
+    sy = window.h / out_size
+    cols = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * sx - 0.5
+    rows = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * sy - 0.5
+    cols = jnp.clip(cols, 0.0, window.w - 1.0) + window.x_start
+    rows = jnp.clip(rows, 0.0, window.h - 1.0) + window.y_start
+    xs = jnp.broadcast_to(cols[None, :], (out_size, out_size))
+    ys = jnp.broadcast_to(rows[:, None], (out_size, out_size))
+    return _bilinear_sample(frame, xs, ys)
+
+
+def crop_to_frame_coords(kp_norm: jnp.ndarray, window: Window) -> jnp.ndarray:
+    """Map [0,1]-normalized crop keypoints into frame pixels
+    (trajectory_inference.py:94-96: kp * crop_side + x_start)."""
+    x = kp_norm[..., 0] * window.w + window.x_start
+    y = kp_norm[..., 1] * window.h + window.y_start
+    return jnp.stack([x, y], axis=-1)
+
+
+def frame_to_crop_coords(kp_frame: jnp.ndarray, window: Window, out_size: int) -> jnp.ndarray:
+    """Map frame-pixel keypoints into out_size^2 crop pixel coordinates."""
+    x = (kp_frame[..., 0] - window.x_start) * (out_size / window.w)
+    y = (kp_frame[..., 1] - window.y_start) * (out_size / window.h)
+    return jnp.stack([x, y], axis=-1)
+
+
+def stitch(
+    frame: jnp.ndarray,
+    crop_img: jnp.ndarray,
+    window: Window,
+    mask_frame: jnp.ndarray,
+) -> jnp.ndarray:
+    """Paste a synthesized out_size^2 crop back onto the frame.
+
+    For each frame pixel inside the window, sample the crop at the inverse resize
+    coordinate and replace where ``mask_frame`` (H, W bool) is set — equivalent to the
+    reference's resize-to-window + masked assignment.
+    """
+    h, w = frame.shape[0], frame.shape[1]
+    out_size = crop_img.shape[0]
+    xs_f = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ys_f = jnp.arange(h, dtype=jnp.float32)[:, None]
+    cx = (xs_f - window.x_start + 0.5) * (out_size / window.w) - 0.5
+    cy = (ys_f - window.y_start + 0.5) * (out_size / window.h) - 0.5
+    cx = jnp.broadcast_to(cx, (h, w))
+    cy = jnp.broadcast_to(cy, (h, w))
+    sampled = _bilinear_sample(crop_img, cx, cy)
+    inside = (
+        (xs_f >= window.x_start)
+        & (xs_f < window.x_start + window.w)
+        & (ys_f >= window.y_start)
+        & (ys_f < window.y_start + window.h)
+    )
+    write = (inside & mask_frame)[..., None]
+    return jnp.where(write, sampled, frame)
+
+
+def window_from_mask_bbox(mask: jnp.ndarray, window: Window, out_size: int) -> Window:
+    """Square window (reference semantics) around the bbox of a crop-resolution mask,
+    expressed back in frame coordinates.
+
+    mask: (S, S) bool in the coordinate system of ``window`` sampled at out_size.
+    Replaces the reference's np.nonzero bbox of the full-frame sketch mask
+    (warp_learn/models.py:330-335) with a fixed-shape reduction.
+    """
+    s = mask.shape[0]
+    cols = jnp.any(mask, axis=0)
+    rows = jnp.any(mask, axis=1)
+    idx = jnp.arange(s)
+    x_min = jnp.min(jnp.where(cols, idx, s))
+    x_max = jnp.max(jnp.where(cols, idx, -1))
+    y_min = jnp.min(jnp.where(rows, idx, s))
+    y_max = jnp.max(jnp.where(rows, idx, -1))
+    # Crop pixel c corresponds to frame coordinate x_start + c * w / out_size (the
+    # mask is nearest-sampled); use the pixel-center map for bbox corners.
+    fx = lambda c: window.x_start + (c + 0.5) * window.w / s - 0.5  # noqa: E731
+    fy = lambda c: window.y_start + (c + 0.5) * window.h / s - 0.5  # noqa: E731
+    bbox = jnp.stack([fx(x_min), fy(y_min), fx(x_max), fy(y_max)])
+    return square_window_from_bbox(bbox)

@@ -1,0 +1,116 @@
+"""Checkpoint management: Orbax for native checkpoints + the PyTorch bridge.
+
+The reference loads 5 torch checkpoints at startup (run_test.py:54-87) and EdgeConnect
+saves {name}_gen.pth with an iteration counter (edgeconnect/models.py:43-52). Here:
+
+* ``save`` / ``restore`` — Orbax PyTreeCheckpointer over any param/state tree
+  (training resume includes optimizer state, which the reference never saved);
+* ``load_torch_checkpoint`` — torch.load a reference .pth (CPU map) and convert via
+  models/convert.py; understands EdgeConnect's {"iteration", "generator"} wrapper;
+* ``load_reference_model_zoo`` — the full checkpoint directory layout of
+  run_test.py:54-87 (cads/model.pth, kpoints/hourglass.pth, icn/256_synth/
+  gnet_00020.pth, vunet/256/vunet.pth, inpainting/{Edge,Inpainting}Model_gen.pth).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def save(path, tree) -> None:
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    checkpointer = ocp.PyTreeCheckpointer()
+    checkpointer.save(path, tree, force=True)
+
+
+def restore(path, template: Optional[Any] = None):
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    checkpointer = ocp.PyTreeCheckpointer()
+    if template is not None:
+        return checkpointer.restore(path, item=template)
+    return checkpointer.restore(path)
+
+
+def _torch_load(path):
+    import torch
+
+    return torch.load(str(path), map_location="cpu", weights_only=False)
+
+
+def load_torch_checkpoint(
+    path,
+    convt_keys=(),
+    flatten_linear_key=None,
+    flatten_linear_chw=None,
+    state_dict_key: Optional[str] = None,
+):
+    """Load + convert a reference .pth. Returns (flax_params, iteration)."""
+    from future_urban_scene_generation_tpu.models.convert import convert_state_dict
+
+    data = _torch_load(path)
+    iteration = 0
+    if isinstance(data, dict) and state_dict_key and state_dict_key in data:
+        iteration = int(data.get("iteration", 0))
+        data = data[state_dict_key]
+    elif isinstance(data, dict) and "generator" in data:
+        iteration = int(data.get("iteration", 0))
+        data = data["generator"]
+    params = convert_state_dict(
+        data,
+        convt_keys=convt_keys,
+        flatten_linear_key=flatten_linear_key,
+        flatten_linear_chw=flatten_linear_chw,
+    )
+    return params, iteration
+
+
+def load_reference_model_zoo(checkpoints_dir) -> Dict[str, Any]:
+    """Load every model of the reference checkpoint layout that is present on disk.
+
+    Missing files are skipped (returned dict simply lacks the key) so partial
+    checkpoint sets remain usable.
+    """
+    from future_urban_scene_generation_tpu.models.edgeconnect import (
+        EDGECONNECT_CONVT_KEYS,
+    )
+    from future_urban_scene_generation_tpu.models.vgg import convert_vgg19_classifier
+
+    root = Path(checkpoints_dir)
+    zoo: Dict[str, Any] = {}
+
+    cad_path = root / "cads" / "model.pth"
+    if cad_path.exists():
+        sd = _torch_load(cad_path)
+        zoo["cad"] = convert_vgg19_classifier(sd)
+
+    hg_path = root / "kpoints" / "hourglass.pth"
+    if hg_path.exists():
+        zoo["hourglass"], _ = load_torch_checkpoint(hg_path)
+
+    icn_path = root / "icn" / "256_synth" / "gnet_00020.pth"
+    if icn_path.exists():
+        zoo["icn"], _ = load_torch_checkpoint(icn_path)
+
+    vunet_path = root / "vunet" / "256" / "vunet.pth"
+    if vunet_path.exists():
+        zoo["vunet"], _ = load_torch_checkpoint(vunet_path)
+
+    edge_path = root / "inpainting" / "EdgeModel_gen.pth"
+    if edge_path.exists():
+        zoo["edge"], zoo["edge_iteration"] = load_torch_checkpoint(
+            edge_path, convt_keys=EDGECONNECT_CONVT_KEYS
+        )
+
+    inpaint_path = root / "inpainting" / "InpaintingModel_gen.pth"
+    if inpaint_path.exists():
+        zoo["inpaint"], zoo["inpaint_iteration"] = load_torch_checkpoint(
+            inpaint_path, convt_keys=EDGECONNECT_CONVT_KEYS
+        )
+
+    return zoo

@@ -1,0 +1,185 @@
+"""Scene-level pipeline runner: one jitted function from (frame, bboxes, trajectories)
+to the (S+1) composited future frames for both generator branches.
+
+This is the TPU-native counterpart of traj_test (trajectory_inference.py:39-475):
+everything between video decode and PNG writing runs as a single jit with fixed
+shapes — vehicles and future steps are vmapped axes, vehicle compositing is a scan.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from future_urban_scene_generation_tpu.geometry.rotations import (
+    extrinsic_from_rodrigues,
+    z_rot,
+)
+from future_urban_scene_generation_tpu.geometry.projection import project_points_extrinsic
+from future_urban_scene_generation_tpu.pipeline import stages
+from future_urban_scene_generation_tpu.pipeline.stages import (
+    CadBank,
+    Models,
+    central_crop_patch,
+    composite_step,
+    icn_synthesize,
+    perceive,
+    pose_rollout,
+    render_vehicle,
+    solve_poses,
+    vunet_encode_appearance,
+    vunet_synthesize,
+    warp_planes_to_crop,
+    _to_signed_lab,
+)
+from future_urban_scene_generation_tpu.render import visibility as vis
+
+
+class SceneResult(NamedTuple):
+    frames_icn: jnp.ndarray  # (S+1, H, W, 3)
+    frames_vunet: jnp.ndarray  # (S+1, H, W, 3)
+    pnp_error: jnp.ndarray  # (V,)
+    cad_idx: jnp.ndarray  # (V,)
+
+
+@partial(jax.jit, static_argnames=("vis_scale",))
+def run_scene(
+    models: Models,
+    cad_bank: CadBank,
+    frame: jnp.ndarray,  # (H, W, 3) float [0,1] RGB
+    background: jnp.ndarray,  # (H, W, 3) float [0,1] RGB (static background)
+    bboxes: jnp.ndarray,  # (V, 4) xyxy
+    meter_coords: jnp.ndarray,  # (V, T, 2) metric trajectory (T-1 future steps)
+    intrinsic: jnp.ndarray,  # (3, 3)
+    vis_scale: float = 1.0,
+) -> SceneResult:
+    perception = perceive(models, frame, bboxes)
+    return synthesize_scene(
+        models, cad_bank, frame, background, perception, meter_coords, intrinsic,
+        vis_scale=vis_scale,
+    )
+
+
+@partial(jax.jit, static_argnames=("vis_scale",))
+def synthesize_scene(
+    models: Models,
+    cad_bank: CadBank,
+    frame: jnp.ndarray,
+    background: jnp.ndarray,
+    perception,  # stages.Perception — possibly oracle-injected (tests/benchmarks)
+    meter_coords: jnp.ndarray,
+    intrinsic: jnp.ndarray,
+    vis_scale: float = 1.0,
+) -> SceneResult:
+    h, w = frame.shape[0], frame.shape[1]
+    vis_hw = (int(h * vis_scale), int(w * vis_scale))
+
+    # --- Stage 2: pose (batched over V) -------------------------------------------
+    err, rvec, tvec = solve_poses(perception, cad_bank, intrinsic)
+    extrinsics = jax.vmap(extrinsic_from_rodrigues)(rvec, tvec)
+
+    # --- Stage 3: rollout (batched over V) -----------------------------------------
+    kp3d_all = cad_bank.keypoints3d[perception.cad_idx]  # (V, 12, 3)
+    theta, translation = jax.vmap(pose_rollout)(meter_coords, kp3d_all)  # (V, S+1[, 3])
+
+    # --- Stage 4+5: render / warp / synthesize (batched over V x S+1) --------------
+    def per_vehicle(cad_idx, bbox_window_fields, ext, kp3d, theta_v, tr_v):
+        verts = cad_bank.vertices[cad_idx]
+        tris = cad_bank.triangles[cad_idx]
+        normals = cad_bank.normals[cad_idx]
+        bbox_window = stages.cr.Window(*bbox_window_fields)
+
+        def per_step(theta_s, tr_s):
+            sketch, veh_mask, window = render_vehicle(
+                verts, tris, normals, ext, intrinsic, theta_s, tr_s
+            )
+            kp3d_s = kp3d @ z_rot(theta_s) + tr_s
+            kp2d_s = project_points_extrinsic(kp3d_s, intrinsic, ext)
+            visibility = vis.compute_visibility(
+                ext, kp2d_s * vis_scale, kp3d_s, vis_hw
+            )
+            polys = jnp.trunc(kp2d_s)[jnp.asarray(vis.TEXTURE_PLANES)]
+            return sketch, veh_mask, window, visibility[:5], polys
+
+        sketches, veh_masks, windows, visibilities, polys = jax.vmap(per_step)(
+            theta_v, tr_v
+        )
+
+        # Appearance encodings: once per vehicle, from the source pose (step 0).
+        src_window = jax.tree.map(lambda f: f[0], windows)
+        mu_app = vunet_encode_appearance(
+            models, frame, sketches[0], veh_masks[0], src_window
+        )
+        central_lab = _to_signed_lab(central_crop_patch(frame, bbox_window))
+
+        def per_step_synth(sketch_s, window_fields_s, vis_s, polys_s):
+            window_s = stages.cr.Window(*window_fields_s)
+            planes_warped = warp_planes_to_crop(
+                frame, polys[0], polys_s, visibilities[0], vis_s, window_s
+            )
+            icn_rgb = icn_synthesize(models, sketch_s, central_lab, planes_warped)
+            vunet_rgb = vunet_synthesize(models, sketch_s, mu_app)
+            return icn_rgb, vunet_rgb
+
+        win_fields = (windows.x_start, windows.y_start, windows.w, windows.h)
+        icn_crops, vunet_crops = jax.vmap(per_step_synth)(
+            sketches, win_fields, visibilities, polys
+        )
+        return icn_crops, vunet_crops, veh_masks, win_fields
+
+    bbox_win = perception.window
+    bbox_win_fields = (bbox_win.x_start, bbox_win.y_start, bbox_win.w, bbox_win.h)
+    icn_crops, vunet_crops, veh_masks, win_fields = jax.vmap(per_vehicle)(
+        perception.cad_idx, bbox_win_fields, extrinsics, kp3d_all, theta, translation
+    )
+    # Shapes: (V, S+1, 256, 256, 3), masks (V, S+1, 256, 256), windows fields (V, S+1).
+
+    # --- Stage 6: composite (scan over V per step) ---------------------------------
+    def per_step_composite(s):
+        windows_s = stages.cr.Window(*(f[:, s] for f in win_fields))
+        frame_icn = composite_step(
+            background, icn_crops[:, s], windows_s, veh_masks[:, s]
+        )
+        frame_vunet = composite_step(
+            background, vunet_crops[:, s], windows_s, veh_masks[:, s]
+        )
+        return frame_icn, frame_vunet
+
+    n_steps = meter_coords.shape[1]
+    frames = [per_step_composite(s) for s in range(n_steps)]
+    frames_icn = jnp.stack([f[0] for f in frames])
+    frames_vunet = jnp.stack([f[1] for f in frames])
+    return SceneResult(frames_icn, frames_vunet, err, perception.cad_idx)
+
+
+def build_cad_bank(meshes, keypoints, scale: float = 5.0) -> CadBank:
+    """Pad a list of (TriangleMesh, (12,3) kp) into a CadBank (run_test.py:146-153's
+    x5 vertex scaling applied here)."""
+    import numpy as np
+
+    from future_urban_scene_generation_tpu.utils.mesh import compute_vertex_normals
+
+    v_max = max(len(m.vertices) for m in meshes)
+    t_max = max(len(m.triangles) for m in meshes)
+    verts, tris, normals, kps = [], [], [], []
+    for mesh, kp in zip(meshes, keypoints):
+        n = compute_vertex_normals(mesh)
+        v = np.asarray(mesh.vertices, np.float32) * scale
+        t = np.asarray(mesh.triangles, np.int32)
+        # Pad vertices by repeating the last one: padded vertices must not distort the
+        # projected-vertex bbox that defines sketch crop windows.
+        v = np.pad(v, ((0, v_max - len(v)), (0, 0)), mode="edge")
+        n = np.pad(np.asarray(n, np.float32), ((0, v_max - len(n)), (0, 0)), mode="edge")
+        t = np.pad(t, ((0, t_max - len(t)), (0, 0)))  # degenerate all-zero triangles
+        verts.append(v)
+        tris.append(t)
+        normals.append(n)
+        kps.append(np.asarray(kp, np.float32) * scale)
+    return CadBank(
+        jnp.asarray(np.stack(verts)),
+        jnp.asarray(np.stack(tris)),
+        jnp.asarray(np.stack(normals)),
+        jnp.asarray(np.stack(kps)),
+    )

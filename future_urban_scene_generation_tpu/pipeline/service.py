@@ -1,0 +1,211 @@
+"""Host-side scene service: assets + models loaded once, per-request orchestration.
+
+The counterpart of the reference's GUI->traj_test glue (GUI/app_interface.py:218-242 +
+trajectory_inference.py:39-475): selects vehicle tracks, converts trajectories to
+meters (host float64), invokes the jitted device pipeline, writes the output PNGs in
+the reference's layout: <out>/{warp&learn,vunet}/<scene>_<cam>/{frame_id:04}.png
+(trajectory_inference.py:461-473).
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from future_urban_scene_generation_tpu.config import PipelineConfig
+from future_urban_scene_generation_tpu.geometry import gps
+from future_urban_scene_generation_tpu.utils import video as video_io
+from future_urban_scene_generation_tpu.utils.bbox import BoundingBox
+
+
+class SceneService:
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+
+        self.trajectories = video_io.parse_tracking_file(
+            cfg.video_dir, cfg.track_mode, cfg.det_mode
+        )
+        homography = video_io.parse_calibration_file(Path(cfg.video_dir) / "calibration.txt")
+        self.inv_homography = video_io.inverse_homography(homography, cfg.scale_calib)
+        self.reader = video_io.VideoReader(
+            self._video_source(), resize_hw=cfg.runtime.frame_hw
+        )
+        probe = self.reader.read(1)
+        if probe is None:
+            raise IOError("cannot read the first frame")
+        self.frame_hw = probe.shape[:2]
+        self.intrinsic = np.load(
+            Path(cfg.video_dir).resolve().parents[2] / "intrinsic.npy"
+        ).astype(np.float32)
+
+        self._load_assets()
+        self._load_models()
+
+    def _video_source(self):
+        video_file = Path(self.cfg.video_dir) / "vdo.avi"
+        if video_file.exists():
+            return video_file
+        frames_dir = Path(self.cfg.video_dir) / "frames"
+        if frames_dir.exists():
+            return frames_dir
+        raise FileNotFoundError(f"no vdo.avi or frames/ under {self.cfg.video_dir}")
+
+    def _load_assets(self):
+        from future_urban_scene_generation_tpu.pipeline.runner import build_cad_bank
+        from future_urban_scene_generation_tpu.utils.mesh import (
+            load_cad_with_keypoints,
+            make_test_car,
+        )
+
+        meshes, kps = [], []
+        for idx in range(10):
+            try:
+                mesh, kp3d = load_cad_with_keypoints(self.cfg.kpoints_dir, idx)
+            except FileNotFoundError:
+                break
+            meshes.append(mesh)
+            kps.append(kp3d)
+        if not meshes:
+            # No CAD assets on disk: fall back to the procedural test car so the
+            # service stays runnable end-to-end.
+            mesh, kp3d = make_test_car(subdiv=3)
+            meshes, kps = [mesh], [kp3d]
+        self.cad_bank = build_cad_bank(meshes, kps, scale=5.0)
+        self.num_cads = len(meshes)
+
+    def _load_models(self):
+        import jax
+        import jax.numpy as jnp
+
+        from future_urban_scene_generation_tpu.pipeline import checkpoint
+        from future_urban_scene_generation_tpu.pipeline.stages import Models
+
+        zoo = {}
+        if self.cfg.checkpoints_dir is not None and Path(self.cfg.checkpoints_dir).exists():
+            zoo = checkpoint.load_reference_model_zoo(self.cfg.checkpoints_dir)
+
+        cadm, hgm, icnm, vunm = Models.modules()
+        key = jax.random.PRNGKey(0)
+        dummy = jnp.zeros((1, 256, 256, 3))
+        self.models = Models(
+            cad_params=zoo.get("cad") or jax.jit(cadm.init)(key, dummy),
+            hourglass_params=zoo.get("hourglass") or jax.jit(hgm.init)(key, dummy),
+            icn_params=zoo.get("icn")
+            or jax.jit(icnm.init)(key, jnp.zeros((1, 256, 256, 21))),
+            vunet_params=zoo.get("vunet")
+            or jax.jit(
+                lambda k: vunm.init(
+                    {"params": k},
+                    jnp.zeros((1, 256, 256, 3)),
+                    jnp.zeros((1, 256, 256, 6)),
+                    cov=0.0,
+                )
+            )(key),
+        )
+        self.edge_params = zoo.get("edge")
+        self.inpaint_params = zoo.get("inpaint")
+
+    # ------------------------------------------------------------------
+    def run_request(self, frame_id: int, vehicle_ids: List[int]) -> List[Path]:
+        """Synthesize the 6 future frames for the selected vehicles; write PNGs."""
+        import jax.numpy as jnp
+
+        from future_urban_scene_generation_tpu.pipeline import runner
+
+        h, w = self.frame_hw
+        frame = self.reader.read(frame_id)
+        if frame is None:
+            raise IOError(f"cannot read frame {frame_id}")
+
+        background = self._background(frame)
+
+        bboxes, meter_tracks = [], []
+        start = time.time()
+        for vid in vehicle_ids:
+            rows = video_io.select_future_track(self.trajectories, vid, frame_id)
+            if len(rows) < 2:
+                continue  # fault barrier: skip vehicles without enough future track
+            bbox = BoundingBox(
+                *rows[0, 2:6],
+                bounds=(0, w - 1, 0, h - 1),
+                scale=self.cfg.bbox_scale,
+            )
+            bboxes.append(bbox.xyxy)
+            mid_bottoms = np.stack(
+                [
+                    BoundingBox(
+                        *r[2:6], bounds=(0, w - 1, 0, h - 1), scale=self.cfg.bbox_scale
+                    ).mid_bottom
+                    for r in rows
+                ]
+            ).astype(np.float64)
+            meters = gps.trajectory_to_meters(mid_bottoms, self.inv_homography)
+            # Pad short tracks by repeating the last point (static continuation).
+            if len(meters) < 6:
+                meters = np.concatenate(
+                    [meters, np.repeat(meters[-1:], 6 - len(meters), axis=0)]
+                )
+            meter_tracks.append(meters[:6])
+        if not bboxes:
+            raise ValueError("no selected vehicle has a usable future track")
+
+        result = runner.run_scene(
+            self.models,
+            self.cad_bank,
+            jnp.asarray(frame),
+            jnp.asarray(background),
+            jnp.asarray(np.float32(bboxes)),
+            jnp.asarray(np.float32(np.stack(meter_tracks))),
+            jnp.asarray(self.intrinsic),
+            vis_scale=self.cfg.runtime.vis_scale,
+        )
+        frames_icn = np.asarray(result.frames_icn)
+        frames_vunet = np.asarray(result.frames_vunet)
+        elapsed = time.time() - start
+        print(
+            f"Prediction of {len(bboxes)} vehicles over {frames_icn.shape[0]} future "
+            f"frames took {elapsed:.2f} seconds"
+        )
+
+        return self._write_outputs(frame_id, frames_icn, frames_vunet)
+
+    def _background(self, frame: np.ndarray) -> np.ndarray:
+        bg_path = Path(self.cfg.video_dir) / "background_frame.png"
+        if not self.cfg.inpaint and bg_path.exists():
+            try:
+                import cv2
+
+                bg = cv2.imread(str(bg_path))[..., ::-1].astype(np.float32) / 255.0
+                if bg.shape[:2] != self.frame_hw:
+                    bg = cv2.resize(bg, (self.frame_hw[1], self.frame_hw[0]))
+                return bg
+            except ImportError:
+                pass
+        return frame
+
+    def _write_outputs(self, frame_id, frames_icn, frames_vunet) -> List[Path]:
+        video_dir = Path(self.cfg.video_dir).resolve()
+        scene_cam = f"{video_dir.parts[-2]}_{video_dir.parts[-1]}"
+        out = []
+        for branch, frames in (("warp&learn", frames_icn), ("vunet", frames_vunet)):
+            branch_dir = Path(self.cfg.output_dir) / branch / scene_cam
+            branch_dir.mkdir(parents=True, exist_ok=True)
+            for i, fid in enumerate(range(frame_id, frame_id + 2 * len(frames), 2)):
+                path = branch_dir / f"{fid:04}.png"
+                self._write_png(path, frames[i])
+                out.append(path)
+        return out
+
+    @staticmethod
+    def _write_png(path, rgb01: np.ndarray):
+        arr = np.clip(rgb01 * 255.0, 0, 255).astype(np.uint8)
+        try:
+            import cv2
+
+            cv2.imwrite(str(path), arr[..., ::-1])
+        except ImportError:
+            from PIL import Image
+
+            Image.fromarray(arr).save(path)

@@ -1,0 +1,338 @@
+"""The end-to-end synthesis pipeline as jitted, vmapped stage functions.
+
+Re-architects the reference's per-vehicle Python loop (trajectory_inference.py:39-475)
+into fixed-shape batched stages over (V vehicles, S steps):
+
+  perceive   crop -> CAD classify + keypoints           (batched over V)
+  pose       LM-PnP with 4 vmapped restarts             (batched over V)
+  rollout    trajectory -> per-step rigid motions       (host f64 GPS + jnp)
+  synthesize render dst sketch + warp planes + ICN/VUNet (batched over V x S)
+  composite  sequential masked stitch into background    (scan over V)
+
+Departures from the reference, by design (TPU-first):
+* sketches are rendered ONCE at crop resolution with a crop-window camera instead of
+  full-frame GL renders that are immediately cropped (trajectory_inference.py:205-220);
+  the crop window comes from the projected-vertex bbox (== the silhouette bbox);
+* warped plane textures are produced by ONE composed gather per plane
+  (frame -> H^-1 -> dst-crop) with an analytic point-in-polygon mask, instead of
+  full-frame fillPoly + warpPerspective + crop + resize (sharper: single resample);
+* the VUNet appearance is encoded once per vehicle and the decoder is vmapped over
+  future steps (the reference already exploits this sequentially, :230-233).
+
+All images are float32 RGB in [0, 1], NHWC.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from future_urban_scene_generation_tpu.geometry import pnp
+from future_urban_scene_generation_tpu.geometry.projection import (
+    project_points_extrinsic,
+    project_points_rodrigues,
+)
+from future_urban_scene_generation_tpu.geometry.rotations import (
+    extrinsic_from_rodrigues,
+    z_rot,
+)
+from future_urban_scene_generation_tpu.geometry.trajectory import rollout_from_meters
+from future_urban_scene_generation_tpu.models.hourglass import HourglassNet, decode_heatmaps
+from future_urban_scene_generation_tpu.models.icn import GResnet
+from future_urban_scene_generation_tpu.models.vgg import VGG19Classifier
+from future_urban_scene_generation_tpu.models.vunet import Vunet
+from future_urban_scene_generation_tpu.ops import colorspace as cs
+from future_urban_scene_generation_tpu.ops import crop as cr
+from future_urban_scene_generation_tpu.ops.polygon import fill_polygon
+from future_urban_scene_generation_tpu.ops.warp import _bilinear_sample
+from future_urban_scene_generation_tpu.render import rasterizer as rz
+from future_urban_scene_generation_tpu.render import visibility as vis
+from future_urban_scene_generation_tpu.geometry.homography import find_homography
+from future_urban_scene_generation_tpu.utils.precision import full_precision
+
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
+CROP = 256
+SKETCH_RES = 256
+
+
+class CadBank(NamedTuple):
+    """The 10 CAD meshes padded to common sizes (vertices x5-scaled like
+    run_test.py:148-151). Padding triangles are degenerate (all-zero index)."""
+
+    vertices: jnp.ndarray  # (C, Vmax, 3)
+    triangles: jnp.ndarray  # (C, Tmax, 3) int32
+    normals: jnp.ndarray  # (C, Vmax, 3)
+    keypoints3d: jnp.ndarray  # (C, 12, 3)
+
+
+class Models(NamedTuple):
+    cad_params: dict
+    hourglass_params: dict
+    icn_params: dict
+    vunet_params: dict
+
+    @staticmethod
+    def modules():
+        return (
+            VGG19Classifier(num_classes=10),
+            HourglassNet(num_stacks=2, num_blocks=1, num_classes=12),
+            GResnet(input_nc=21),
+            Vunet(vunet_256=True),
+        )
+
+
+class Perception(NamedTuple):
+    cad_idx: jnp.ndarray  # (V,)
+    kp_frame: jnp.ndarray  # (V, 12, 2)
+    window: cr.Window  # batched (V,)
+    crop: jnp.ndarray  # (V, 256, 256, 3)
+
+
+def perceive(models: Models, frame: jnp.ndarray, bboxes: jnp.ndarray) -> Perception:
+    """Stage 1 (trajectory_inference.py:56-96): square crop, CAD classification,
+    keypoint localization, keypoints mapped back to frame coordinates."""
+    cad_model, kp_model, _, _ = Models.modules()
+
+    def one(bbox):
+        window = cr.square_window_from_bbox(bbox)
+        crop = cr.crop_resize(frame, window, CROP)
+        norm = (crop - IMAGENET_MEAN) / IMAGENET_STD
+        logits = cad_model.apply(models.cad_params, norm[None])[0]
+        heat = kp_model.apply(models.hourglass_params, norm[None])["heatmaps"][-1]
+        kp_norm = decode_heatmaps(heat)[0]
+        kp_frame = cr.crop_to_frame_coords(kp_norm, window)
+        return jnp.argmax(logits), kp_frame, window, crop
+
+    cad_idx, kp_frame, window, crop = jax.vmap(one)(bboxes)
+    return Perception(cad_idx, kp_frame, window, crop)
+
+
+def solve_poses(
+    perception: Perception, cad_bank: CadBank, intrinsic: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Stage 2 (trajectory_inference.py:98-105): vmapped CPC PnP."""
+    focals = jnp.stack([intrinsic[0, 0], intrinsic[1, 1]])
+    centers = jnp.stack([intrinsic[0, 2], intrinsic[1, 2]])
+    kp3d = cad_bank.keypoints3d[perception.cad_idx]  # (V, 12, 3)
+
+    def one(kp3d_v, kp2d_v):
+        return pnp.solve_pnp_4restarts(kp3d_v, kp2d_v, focals, centers)
+
+    err, rvec, tvec = jax.vmap(one)(kp3d, perception.kp_frame)
+    return err, rvec, tvec
+
+
+def pose_rollout(meter_coords: jnp.ndarray, kp3d: jnp.ndarray):
+    """Stage 3: per-step rigid motions INCLUDING the identity step 0.
+
+    Returns (theta (S+1,), translation (S+1, 3)) for meter_coords (T, 2) with
+    S = T - 1 future steps.
+    """
+    r = rollout_from_meters(meter_coords)
+    theta = jnp.concatenate([jnp.zeros(1, r.theta.dtype), r.theta])
+    tr = jnp.concatenate([jnp.zeros((1, 3), r.translation.dtype), r.translation])
+    return theta, tr
+
+
+def _sketch_window(verts_screen: jnp.ndarray) -> cr.Window:
+    """Square crop window from the projected-vertex bbox (== silhouette bbox)."""
+    bbox = jnp.stack(
+        [
+            jnp.min(verts_screen[:, 0]),
+            jnp.min(verts_screen[:, 1]),
+            jnp.max(verts_screen[:, 0]),
+            jnp.max(verts_screen[:, 1]),
+        ]
+    )
+    return cr.square_window_from_bbox(bbox)
+
+
+def render_vehicle(
+    vertices, triangles, normals, extrinsic, intrinsic, theta, translation
+):
+    """Render the posed vehicle's normal sketch at its own crop window.
+
+    Returns (sketch (S, S, 3), vehicle_mask (S, S) bool, window, kp-projection cam).
+    """
+    rot = z_rot(theta)
+    verts_w = vertices @ rot + translation
+    cam_full = rz.Camera.from_intrinsic(intrinsic)
+    screen = rz.project_vertices(verts_w, extrinsic, cam_full)
+    window = _sketch_window(screen)
+    scale = SKETCH_RES / window.w
+    cam_crop = cam_full.crop(window.x_start, window.y_start, scale)
+    sketch, bg = rz.render_normal_sketch(
+        verts_w, triangles, normals @ rot, extrinsic, cam_crop, (SKETCH_RES, SKETCH_RES)
+    )
+    return sketch, jnp.logical_not(bg), window
+
+
+@full_precision
+def warp_planes_to_crop(
+    frame: jnp.ndarray,
+    src_polys: jnp.ndarray,
+    dst_polys: jnp.ndarray,
+    src_vis: jnp.ndarray,
+    dst_vis: jnp.ndarray,
+    dst_window: cr.Window,
+) -> jnp.ndarray:
+    """Warped texture planes directly in dst-crop coordinates: one gather per plane.
+
+    For dst-crop pixel q: frame point p = window(q); src point s = H_f^{-1}(p);
+    value = frame(s) * [s inside src polygon]. Skip/symmetry rules as
+    warp_unwarp_planes (warp_learn/planes_utils.py:46-68). Returns (5, S, S, 3).
+    """
+    s_res = SKETCH_RES
+    left, right = vis.SYMMETRY_PAIR
+
+    # dst-crop pixel centers -> frame coords (resize convention).
+    qs = (jnp.arange(s_res, dtype=jnp.float32) + 0.5) / s_res
+    px = dst_window.x_start + qs[None, :] * dst_window.w - 0.5
+    py = dst_window.y_start + qs[:, None] * dst_window.h - 0.5
+    px = jnp.broadcast_to(px, (s_res, s_res))
+    py = jnp.broadcast_to(py, (s_res, s_res))
+    ones = jnp.ones_like(px)
+
+    def inside_poly(pts_x, pts_y, poly):
+        inside = jnp.zeros(pts_x.shape, bool)
+        k = poly.shape[0]
+        for e in range(k):
+            x1, y1 = poly[e, 0], poly[e, 1]
+            x2, y2 = poly[(e + 1) % k, 0], poly[(e + 1) % k, 1]
+            straddle = (y1 > pts_y) != (y2 > pts_y)
+            denom = jnp.where(y2 == y1, 1.0, y2 - y1)
+            x_cross = x1 + (pts_y - y1) * (x2 - x1) / denom
+            inside = inside ^ (straddle & (pts_x < x_cross))
+        return inside
+
+    out = jnp.zeros((vis.NUM_TEXTURE_PLANES, s_res, s_res, frame.shape[-1]), frame.dtype)
+    for i in range(vis.NUM_TEXTURE_PLANES):
+        in_symmetry = i in (left, right)
+        other = right if i == left else left
+        skip = jnp.logical_not(src_vis[i])
+        if not in_symmetry:
+            skip = skip | jnp.logical_not(dst_vis[i])
+            j = jnp.asarray(i)
+        else:
+            skip = skip | jnp.logical_not(dst_vis[left] | dst_vis[right])
+            j = jnp.where(dst_vis[i], i, other)
+
+        h12, valid = find_homography(src_polys[i], dst_polys[j])
+        h_inv = jnp.linalg.inv(h12)
+        denom = h_inv[2, 0] * px + h_inv[2, 1] * py + h_inv[2, 2] * ones
+        denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        sx = (h_inv[0, 0] * px + h_inv[0, 1] * py + h_inv[0, 2]) / denom
+        sy = (h_inv[1, 0] * px + h_inv[1, 1] * py + h_inv[1, 2]) / denom
+        tex = _bilinear_sample(frame, sx, sy)
+        mask = inside_poly(sx, sy, src_polys[i])
+        ok = valid & jnp.logical_not(skip)
+        tex = tex * mask[..., None].astype(frame.dtype)
+
+        # Write into destination slot j with the reference's sequential-overwrite
+        # semantics (planes_utils.py:79: planes_warped[j] = src_warped).
+        write = (
+            jax.nn.one_hot(j, vis.NUM_TEXTURE_PLANES, dtype=frame.dtype)
+            * ok.astype(frame.dtype)
+        )[:, None, None, None]
+        out = out * (1.0 - write) + tex[None] * write
+    return out
+
+
+def central_crop_patch(frame: jnp.ndarray, bbox_window: cr.Window) -> jnp.ndarray:
+    """The 20%-side central patch of the bbox crop, resized to 256^2 — the ICN
+    appearance prior (warp_learn/vehicle_utils.py:35-53)."""
+    crop = cr.crop_resize(frame, bbox_window, CROP)
+    offset = int(CROP * 0.1)
+    patch_win = cr.Window(
+        jnp.float32(CROP // 2 - offset),
+        jnp.float32(CROP // 2 - offset),
+        jnp.float32(2 * offset),
+        jnp.float32(2 * offset),
+    )
+    return cr.crop_resize(crop, patch_win, CROP)
+
+
+def _to_signed_lab(rgb01):
+    return cs.rgb_to_lab(rgb01) * 2.0 - 1.0
+
+
+def icn_synthesize(
+    models: Models,
+    dst_sketch: jnp.ndarray,
+    central_patch_lab: jnp.ndarray,
+    planes_warped: jnp.ndarray,
+):
+    """Assemble the 21-channel LAB input (warp_learn/models.py:323-366) and run ICN.
+    Returns RGB [0, 1] (256, 256, 3)."""
+    _, _, icn_model, _ = Models.modules()
+    sketch_lab = _to_signed_lab(dst_sketch)
+    planes_lab = _to_signed_lab(planes_warped)  # (5, S, S, 3)
+    planes_cat = jnp.concatenate(list(planes_lab), axis=-1)  # (S, S, 15)
+    inp = jnp.concatenate([sketch_lab, central_patch_lab, planes_cat], axis=-1)
+    out = icn_model.apply(models.icn_params, inp[None])[0]  # [-1, 1] LAB
+    return cs.lab_to_rgb((out + 1.0) / 2.0)
+
+
+def vunet_encode_appearance(models: Models, frame, src_sketch, src_mask, src_window):
+    """Appearance encoding, once per vehicle (trajectory_inference.py:205-231).
+
+    x = [masked vehicle RGB (white background), src sketch], both [-1, 1].
+    """
+    _, _, _, vunet_model = Models.modules()
+    veh = cr.crop_resize(frame, src_window, CROP)
+    masked = jnp.where(src_mask[..., None], veh, 1.0)  # white background
+    x = jnp.concatenate([masked * 2.0 - 1.0, src_sketch * 2.0 - 1.0], axis=-1)
+    return vunet_model.apply(
+        models.vunet_params, x[None], cov=0.0, method=Vunet.encode_appearance
+    )
+
+
+def vunet_synthesize(models: Models, dst_sketch, mu_app):
+    """Per-step VUNet decode (trajectory_inference.py:232-234, 424-426)."""
+    _, _, _, vunet_model = Models.modules()
+    y_tilde = dst_sketch[None] * 2.0 - 1.0
+    out = vunet_model.apply(
+        models.vunet_params, y_tilde, mu_app, cov=0.0, method=Vunet.decode_shape
+    )[0]
+    return jnp.clip((out + 1.0) / 2.0, 0.0, 1.0)
+
+
+def composite_step(background, crops, windows, masks):
+    """Composite V vehicles into one frame, in vehicle order (sequential overwrite as
+    the reference's accumulation into result_frames, trajectory_inference.py:197-198).
+
+    crops: (V, 256, 256, 3); windows: batched Window (V,); masks: (V, 256, 256) bool.
+    """
+
+    def body(frame, inp):
+        crop_img, win_fields, mask = inp
+        window = cr.Window(*win_fields)
+        mask_frame = _mask_to_frame(mask, window, frame.shape[:2])
+        return cr.stitch(frame, crop_img, window, mask_frame), None
+
+    win_tuple = (windows.x_start, windows.y_start, windows.w, windows.h)
+    out, _ = jax.lax.scan(body, background, (crops, win_tuple, masks))
+    return out
+
+
+def _mask_to_frame(mask_crop, window: cr.Window, hw) -> jnp.ndarray:
+    """Nearest-sample a crop-resolution mask at frame pixels inside the window."""
+    h, w = hw
+    s = mask_crop.shape[0]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    cx = (xs - window.x_start + 0.5) * (s / window.w) - 0.5
+    cy = (ys - window.y_start + 0.5) * (s / window.h) - 0.5
+    cxi = jnp.clip(jnp.round(cx).astype(jnp.int32), 0, s - 1)
+    cyi = jnp.clip(jnp.round(cy).astype(jnp.int32), 0, s - 1)
+    inside = (
+        (xs >= window.x_start)
+        & (xs < window.x_start + window.w)
+        & (ys >= window.y_start)
+        & (ys < window.y_start + window.h)
+    )
+    cyi = jnp.broadcast_to(cyi, (h, w))
+    cxi = jnp.broadcast_to(cxi, (h, w))
+    return mask_crop[cyi, cxi] & inside

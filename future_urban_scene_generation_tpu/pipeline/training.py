@@ -1,0 +1,248 @@
+"""Training machinery: GAN trainers for ICN (Warp&Learn) and EdgeConnect.
+
+The reference ships training heads but no driver (SURVEY §2.1 "vestigial"):
+EdgeConnect's process()/backward() steps (edgeconnect/models.py:87-144, 184-247) and
+the ICN's multi-scale discriminator + GANLoss (warp_learn/models.py:211-320). This
+module provides the actual trainers the TPU framework exposes:
+
+* separate Adam optimizers per generator/discriminator with the reference's
+  hyperparameters (LR, D2G_LR=0.1, betas (0.0, 0.9) — edgeconnect/config.py:42-45);
+* EdgeModel step: nsgan adversarial + 10x feature matching (models.py:87-128);
+* InpaintingModel step: 0.01x adversarial + L1/mean(mask) + perceptual + style
+  (models.py:184-234);
+* ICN step: LSGAN over the multi-scale PatchGAN + L1 reconstruction;
+* all steps are pure (state, batch) -> (state, metrics) functions, jittable and
+  shardable over a (data, model) mesh — gradients reduce over 'data' via XLA.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from future_urban_scene_generation_tpu.models import edgeconnect as ec
+from future_urban_scene_generation_tpu.models.icn import DNLayersMulti, GResnet, gan_loss
+from future_urban_scene_generation_tpu.models.vgg import VGG19Features
+
+
+class GANTrainState(NamedTuple):
+    gen_params: Any
+    dis_params: Any
+    gen_opt_state: Any
+    dis_opt_state: Any
+    iteration: jnp.ndarray
+
+
+def make_optimizers(lr: float = 1e-4, d2g_lr: float = 0.1, b1: float = 0.0, b2: float = 0.9):
+    gen_tx = optax.adam(lr, b1=b1, b2=b2)
+    dis_tx = optax.adam(lr * d2g_lr, b1=b1, b2=b2)
+    return gen_tx, dis_tx
+
+
+# ---------------------------------------------------------------------------
+# ICN (Warp&Learn)
+# ---------------------------------------------------------------------------
+
+class ICNTrainer:
+    """LSGAN + L1 trainer for the 21->3 generator with the multi-scale PatchGAN."""
+
+    def __init__(self, input_nc: int = 21, ndf: int = 64, l1_weight: float = 10.0,
+                 lr: float = 1e-4):
+        self.gen = GResnet(input_nc=input_nc)
+        self.dis = DNLayersMulti(input_nc=3, ndf=ndf)
+        self.l1_weight = l1_weight
+        self.gen_tx, self.dis_tx = make_optimizers(lr)
+
+    def init(self, key, sample_input, sample_target) -> GANTrainState:
+        kg, kd = jax.random.split(key)
+        gen_params = self.gen.init(kg, sample_input)
+        dis_params = self.dis.init(kd, sample_target)
+        return GANTrainState(
+            gen_params, dis_params,
+            self.gen_tx.init(gen_params), self.dis_tx.init(dis_params),
+            jnp.int32(0),
+        )
+
+    def train_step(
+        self, state: GANTrainState, inputs: jnp.ndarray, targets: jnp.ndarray
+    ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
+        """inputs: (B, H, W, 21) LAB [-1,1]; targets: (B, H, W, 3)."""
+
+        fake = self.gen.apply(state.gen_params, inputs)
+
+        def dis_loss_fn(dis_params):
+            d_real = self.dis.apply(dis_params, targets)
+            d_fake = self.dis.apply(dis_params, jax.lax.stop_gradient(fake))
+            return 0.5 * (gan_loss(d_real, True) + gan_loss(d_fake, False))
+
+        dis_loss, dis_grads = jax.value_and_grad(dis_loss_fn)(state.dis_params)
+        dis_updates, dis_opt_state = self.dis_tx.update(dis_grads, state.dis_opt_state)
+        dis_params = optax.apply_updates(state.dis_params, dis_updates)
+
+        def gen_loss_fn(gen_params):
+            fake_g = self.gen.apply(gen_params, inputs)
+            d_fake = self.dis.apply(dis_params, fake_g)
+            adv = gan_loss(d_fake, True)
+            l1 = jnp.mean(jnp.abs(fake_g - targets))
+            return adv + self.l1_weight * l1, (adv, l1)
+
+        (gen_loss, (adv, l1)), gen_grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
+            state.gen_params
+        )
+        gen_updates, gen_opt_state = self.gen_tx.update(gen_grads, state.gen_opt_state)
+        gen_params = optax.apply_updates(state.gen_params, gen_updates)
+
+        new_state = GANTrainState(
+            gen_params, dis_params, gen_opt_state, dis_opt_state, state.iteration + 1
+        )
+        return new_state, {"l_d": dis_loss, "l_g": adv, "l_l1": l1}
+
+
+# ---------------------------------------------------------------------------
+# EdgeConnect
+# ---------------------------------------------------------------------------
+
+class EdgeModelTrainer:
+    """EdgeModel.process parity (edgeconnect/models.py:87-128): nsgan + 10x FM loss."""
+
+    def __init__(self, fm_weight: float = 10.0, lr: float = 1e-4, gan_kind: str = "nsgan"):
+        self.gen = ec.EdgeGenerator()
+        self.dis = ec.ECDiscriminator(in_channels=2, use_sigmoid=gan_kind != "hinge")
+        self.fm_weight = fm_weight
+        self.gan_kind = gan_kind
+        self.gen_tx, self.dis_tx = make_optimizers(lr)
+
+    def init(self, key, hw=(256, 256)) -> GANTrainState:
+        kg, kd = jax.random.split(key)
+        h, w = hw
+        gen_params = self.gen.init(kg, jnp.zeros((1, h, w, 3)))
+        dis_params = self.dis.init(kd, jnp.zeros((1, h, w, 2)))
+        return GANTrainState(
+            gen_params, dis_params,
+            self.gen_tx.init(gen_params), self.dis_tx.init(dis_params),
+            jnp.int32(0),
+        )
+
+    def train_step(self, state, images_gray, edges, masks):
+        outputs = ec.edge_model_forward(state.gen_params, images_gray, edges, masks,
+                                        generator=self.gen)
+
+        def dis_loss_fn(dis_params):
+            real_in = jnp.concatenate([images_gray, edges], axis=-1)
+            fake_in = jnp.concatenate(
+                [images_gray, jax.lax.stop_gradient(outputs)], axis=-1
+            )
+            d_real, _ = self.dis.apply(dis_params, real_in)
+            d_fake, _ = self.dis.apply(dis_params, fake_in)
+            return (
+                ec.adversarial_loss(d_real, True, True, self.gan_kind)
+                + ec.adversarial_loss(d_fake, False, True, self.gan_kind)
+            ) / 2.0
+
+        dis_loss, dis_grads = jax.value_and_grad(dis_loss_fn)(state.dis_params)
+        dis_updates, dis_opt_state = self.dis_tx.update(dis_grads, state.dis_opt_state)
+        dis_params = optax.apply_updates(state.dis_params, dis_updates)
+
+        def gen_loss_fn(gen_params):
+            out_g = ec.edge_model_forward(gen_params, images_gray, edges, masks,
+                                          generator=self.gen)
+            real_in = jnp.concatenate([images_gray, edges], axis=-1)
+            fake_in = jnp.concatenate([images_gray, out_g], axis=-1)
+            d_fake, fake_feat = self.dis.apply(dis_params, fake_in)
+            _, real_feat = self.dis.apply(dis_params, real_in)
+            adv = ec.adversarial_loss(d_fake, True, False, self.gan_kind)
+            fm = sum(
+                jnp.mean(jnp.abs(f - jax.lax.stop_gradient(r)))
+                for f, r in zip(fake_feat, real_feat)
+            )
+            return adv + self.fm_weight * fm, (adv, fm)
+
+        (gen_total, (adv, fm)), gen_grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
+            state.gen_params
+        )
+        gen_updates, gen_opt_state = self.gen_tx.update(gen_grads, state.gen_opt_state)
+        gen_params = optax.apply_updates(state.gen_params, gen_updates)
+
+        new_state = GANTrainState(
+            gen_params, dis_params, gen_opt_state, dis_opt_state, state.iteration + 1
+        )
+        return new_state, {"l_d1": dis_loss, "l_g1": adv, "l_fm": fm}
+
+
+class InpaintingModelTrainer:
+    """InpaintingModel.process parity (edgeconnect/models.py:184-234)."""
+
+    def __init__(
+        self,
+        adv_weight: float = 0.01,
+        l1_weight: float = 1.0,
+        content_weight: float = 1.0,
+        style_weight: float = 1.0,
+        lr: float = 1e-4,
+        gan_kind: str = "nsgan",
+    ):
+        self.gen = ec.InpaintGenerator()
+        self.dis = ec.ECDiscriminator(in_channels=3, use_sigmoid=gan_kind != "hinge")
+        self.vgg = VGG19Features()
+        self.weights = (adv_weight, l1_weight, content_weight, style_weight)
+        self.gan_kind = gan_kind
+        self.gen_tx, self.dis_tx = make_optimizers(lr)
+
+    def init(self, key, vgg_params, hw=(256, 256)) -> GANTrainState:
+        kg, kd = jax.random.split(key)
+        h, w = hw
+        gen_params = self.gen.init(kg, jnp.zeros((1, h, w, 4)))
+        dis_params = self.dis.init(kd, jnp.zeros((1, h, w, 3)))
+        self.vgg_params = vgg_params
+        return GANTrainState(
+            gen_params, dis_params,
+            self.gen_tx.init(gen_params), self.dis_tx.init(dis_params),
+            jnp.int32(0),
+        )
+
+    def train_step(self, state, vgg_params, images, edges, masks):
+        adv_w, l1_w, content_w, style_w = self.weights
+        outputs = ec.inpaint_model_forward(state.gen_params, images, edges, masks,
+                                           generator=self.gen)
+
+        def dis_loss_fn(dis_params):
+            d_real, _ = self.dis.apply(dis_params, images)
+            d_fake, _ = self.dis.apply(dis_params, jax.lax.stop_gradient(outputs))
+            return (
+                ec.adversarial_loss(d_real, True, True, self.gan_kind)
+                + ec.adversarial_loss(d_fake, False, True, self.gan_kind)
+            ) / 2.0
+
+        dis_loss, dis_grads = jax.value_and_grad(dis_loss_fn)(state.dis_params)
+        dis_updates, dis_opt_state = self.dis_tx.update(dis_grads, state.dis_opt_state)
+        dis_params = optax.apply_updates(state.dis_params, dis_updates)
+
+        def gen_loss_fn(gen_params):
+            out_g = ec.inpaint_model_forward(gen_params, images, edges, masks,
+                                             generator=self.gen)
+            d_fake, _ = self.dis.apply(dis_params, out_g)
+            adv = ec.adversarial_loss(d_fake, True, False, self.gan_kind) * adv_w
+            l1 = jnp.mean(jnp.abs(out_g - images)) * l1_w / jnp.mean(masks)
+            feats_x = self.vgg.apply(vgg_params, out_g)
+            feats_y = self.vgg.apply(vgg_params, images)
+            content = ec.perceptual_loss(feats_x, feats_y) * content_w
+            feats_xm = self.vgg.apply(vgg_params, out_g * masks)
+            feats_ym = self.vgg.apply(vgg_params, images * masks)
+            style = ec.style_loss(feats_xm, feats_ym) * style_w
+            return adv + l1 + content + style, (adv, l1, content, style)
+
+        (gen_total, aux), gen_grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
+            state.gen_params
+        )
+        adv, l1, content, style = aux
+        gen_updates, gen_opt_state = self.gen_tx.update(gen_grads, state.gen_opt_state)
+        gen_params = optax.apply_updates(state.gen_params, gen_updates)
+
+        new_state = GANTrainState(
+            gen_params, dis_params, gen_opt_state, dis_opt_state, state.iteration + 1
+        )
+        return new_state, {
+            "l_d2": dis_loss, "l_g2": adv, "l_l1": l1, "l_per": content, "l_sty": style,
+        }

@@ -1,0 +1,87 @@
+"""Headless CLI + SceneService end-to-end on a synthetic on-disk dataset."""
+import numpy as np
+import pytest
+import yaml
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    """CityFlow-shaped directory: S01/c001/{frames/, calibration.txt, mtsc/...},
+    with intrinsic.npy two levels up (trajectory_inference.py:99)."""
+    root = tmp_path_factory.mktemp("data")
+    video_dir = root / "train" / "S01" / "c001"
+    (video_dir / "frames").mkdir(parents=True)
+    (video_dir / "mtsc").mkdir()
+
+    h, w = 240, 320
+    rng = np.random.RandomState(0)
+    yy, xx = np.mgrid[:h, :w].astype(np.float32)
+    bg = np.stack([xx / w, yy / h, 0.4 + 0 * xx], -1)
+    for i in range(12):
+        frame = bg.copy()
+        frame[100:140, 60 + 6 * i: 120 + 6 * i] = [0.8, 0.2, 0.2]  # moving "vehicle"
+        np.save(video_dir / "frames" / f"{i:04}.npy", frame)
+
+    # Tracking: vehicle id 7 moving right, 10 columns.
+    rows = []
+    for i in range(12):
+        rows.append([i + 1, 7, 60 + 6 * i, 100, 60, 40, 1, -1, -1, -1])
+    np.savetxt(video_dir / "mtsc" / "mtsc_tc_ssd512.txt", np.asarray(rows), delimiter=",")
+
+    # Calibration: pixel->GPS homography (tiny offsets around a base lat/lon).
+    hmat = np.array([[1e-5, 0, 45.0], [0, 1e-5, 11.0], [0, 0, 1.0]])
+    matrix_str = ";".join(" ".join(str(v) for v in row) for row in hmat)
+    (video_dir / "calibration.txt").write_text(
+        yaml.safe_dump({"Homography matrix": matrix_str})
+    )
+
+    np.save(root / "intrinsic.npy", np.array(
+        [[300.0, 0, w / 2], [0, 300.0, h / 2], [0, 0, 1]], np.float32
+    ))
+    return video_dir
+
+
+def test_video_io(dataset):
+    from future_urban_scene_generation_tpu.utils import video as vio
+
+    tracks = vio.parse_tracking_file(dataset, "tc", "ssd512")
+    assert tracks.shape == (12, 6)
+    hmat = vio.parse_calibration_file(dataset / "calibration.txt")
+    assert hmat.shape == (3, 3)
+    inv = vio.inverse_homography(hmat)
+    assert np.allclose(inv @ hmat, np.eye(3), atol=1e-9)
+
+    reader = vio.VideoReader(dataset / "frames", resize_hw=None)
+    f1 = reader.read(1)
+    assert f1.shape == (240, 320, 3) and f1.dtype == np.float32
+    assert reader.read(100) is None
+
+    future = vio.select_future_track(tracks, 7, 3)
+    assert len(future) == 5  # rows 3,5,7,9,11
+    assert future[0, 0] == 3
+
+
+@pytest.mark.slow
+def test_cli_headless_end_to_end(dataset, tmp_path):
+    from future_urban_scene_generation_tpu.cli.run_test import main
+
+    out_dir = tmp_path / "results"
+    rc = main([
+        str(dataset), str(tmp_path / "no_kpoints"), str(tmp_path / "no_ckpts"),
+        "--select-ids", "7", "--frame-id", "1",
+        "--output-dir", str(out_dir),
+        "--frame-hw", "-1", "-1",  # native 240x320
+        "--vis-scale", "0.5",
+    ])
+    assert rc == 0
+    pngs = sorted(out_dir.rglob("*.png"))
+    assert len(pngs) == 12  # 6 frames x 2 branches
+    names = {p.parent.parent.name for p in pngs}
+    assert names == {"warp&learn", "vunet"}
+
+
+def test_cli_requires_selection(dataset, tmp_path):
+    from future_urban_scene_generation_tpu.cli.run_test import main
+
+    rc = main([str(dataset), "x", "y"])
+    assert rc == 2
