@@ -167,3 +167,31 @@ def delta_t_vec(axis: str, t_value):
     """Translation vector along a named axis (utils/geometry.py:140-144)."""
     idx = {"x": 0, "y": 1, "z": 2}[axis]
     return jnp.zeros(3).at[idx].set(t_value)
+
+
+def intrinsic_matrix(focal, cx, cy):
+    """Square-pixel zero-skew K (utils/geometry.py:116-127)."""
+    zero = jnp.zeros_like(jnp.asarray(focal, jnp.float32))
+    one = jnp.ones_like(zero)
+    f = jnp.asarray(focal, jnp.float32)
+    return jnp.stack(
+        [
+            jnp.stack([f, zero, jnp.asarray(cx, jnp.float32)]),
+            jnp.stack([zero, f, jnp.asarray(cy, jnp.float32)]),
+            jnp.stack([zero, zero, one]),
+        ]
+    )
+
+
+def rotmat_to_az_el_radius(camera_coords):
+    """Camera position -> (azimuth deg, elevation deg, radius), wrapped to [0, 360)
+    (utils/geometry.py:147-161)."""
+    tx, ty, tz = camera_coords[0], camera_coords[1], camera_coords[2]
+    azimuth = jnp.degrees(jnp.arctan2(tx, tz))
+    proj = jnp.stack([tx, jnp.zeros_like(ty), tz])
+    cam_n = camera_coords / jnp.linalg.norm(camera_coords)
+    proj_n = proj / jnp.maximum(jnp.linalg.norm(proj), 1e-12)
+    elevation = jnp.degrees(jnp.arccos(jnp.clip(jnp.dot(cam_n, proj_n), -1.0, 1.0)))
+    azimuth = jnp.mod(azimuth, 360.0)
+    elevation = jnp.mod(elevation, 360.0)
+    return azimuth, elevation, jnp.linalg.norm(camera_coords)

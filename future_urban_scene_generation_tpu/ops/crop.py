@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from future_urban_scene_generation_tpu.ops.warp import _bilinear_sample
@@ -58,7 +59,34 @@ def square_window_from_bbox(bbox_xyxy) -> Window:
 
 def crop_resize(frame: jnp.ndarray, window: Window, out_size: int) -> jnp.ndarray:
     """Resample the window to (out_size, out_size, C), zero outside the frame,
-    replicating at the window edge (cv2.resize on a zero-padded crop)."""
+    replicating at the window edge (cv2.resize on a zero-padded crop).
+
+    Implemented with jax.image.scale_and_translate: a separable weighted reduction
+    (dense row/col mixing matrices -> MXU work) instead of a 2M-point gather, which
+    is an order of magnitude faster on TPU. Convention: s&t maps output pixel o to
+    input coordinate (o + 0.5 - t)/s - 0.5, zero outside the input support and
+    edge-renormalized inside — matching the reference's zero-padded crop except for
+    a half-texel blend at window borders that lie inside the frame.
+    """
+    sx = out_size / window.w
+    sy = out_size / window.h
+    # A 1-pixel zero ring reproduces cv2's zero-pad blend at the frame border for
+    # windows that hang off the frame (s&t alone would edge-replicate there).
+    padded = jnp.pad(frame, ((1, 1), (1, 1), (0, 0)))
+    return jax.image.scale_and_translate(
+        padded,
+        (out_size, out_size, frame.shape[-1]),
+        (0, 1),
+        jnp.stack([sy, sx]),
+        jnp.stack([-(window.y_start + 1.0) * sy, -(window.x_start + 1.0) * sx]),
+        method="linear",
+        antialias=False,
+    )
+
+
+def crop_resize_gather(frame: jnp.ndarray, window: Window, out_size: int) -> jnp.ndarray:
+    """Gather-based reference implementation of :func:`crop_resize` (exact cv2
+    window-edge clamping; used by tests as the semantics oracle)."""
     sx = window.w / out_size
     sy = window.h / out_size
     cols = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * sx - 0.5
@@ -93,10 +121,43 @@ def stitch(
 ) -> jnp.ndarray:
     """Paste a synthesized out_size^2 crop back onto the frame.
 
-    For each frame pixel inside the window, sample the crop at the inverse resize
-    coordinate and replace where ``mask_frame`` (H, W bool) is set — equivalent to the
-    reference's resize-to-window + masked assignment.
+    Equivalent to the reference's resize-to-window + masked assignment
+    (trajectory_inference.py:185-198), expressed as a separable
+    scale_and_translate onto the frame canvas (MXU-friendly, gather-free) and a
+    masked select where ``mask_frame`` (H, W bool) is set.
     """
+    h, w = frame.shape[0], frame.shape[1]
+    out_size = crop_img.shape[0]
+    sy = window.h / out_size
+    sx = window.w / out_size
+    canvas = jax.image.scale_and_translate(
+        crop_img,
+        (h, w, frame.shape[-1]),
+        (0, 1),
+        jnp.stack([sy, sx]),
+        jnp.stack([window.y_start, window.x_start]),
+        method="linear",
+        antialias=False,
+    )
+    xs_f = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ys_f = jnp.arange(h, dtype=jnp.float32)[:, None]
+    inside = (
+        (xs_f >= window.x_start)
+        & (xs_f < window.x_start + window.w)
+        & (ys_f >= window.y_start)
+        & (ys_f < window.y_start + window.h)
+    )
+    write = (inside & mask_frame)[..., None]
+    return jnp.where(write, canvas, frame)
+
+
+def stitch_gather(
+    frame: jnp.ndarray,
+    crop_img: jnp.ndarray,
+    window: Window,
+    mask_frame: jnp.ndarray,
+) -> jnp.ndarray:
+    """Gather-based reference implementation of :func:`stitch` (semantics oracle)."""
     h, w = frame.shape[0], frame.shape[1]
     out_size = crop_img.shape[0]
     xs_f = jnp.arange(w, dtype=jnp.float32)[None, :]
@@ -114,6 +175,30 @@ def stitch(
     )
     write = (inside & mask_frame)[..., None]
     return jnp.where(write, sampled, frame)
+
+
+def image_ref_to_crop_ref(
+    kpoints: "np.ndarray", crop_tl, crop_pad, crop_shape, normalize: bool
+):
+    """Host-side keypoint remap image->crop with out-of-crop invalidation
+    (utils/crop_utils.py:55-88). kpoints: (K, 2), -1 marks missing."""
+    import numpy as np
+
+    x_min, y_min = crop_tl
+    x_pad, y_pad = crop_pad
+    crop_h, crop_w = crop_shape[0], crop_shape[1]
+    out = np.array(kpoints, dtype=np.float64, copy=True)
+    for i in range(len(out)):
+        if np.all(out[i] != -1):
+            kx = out[i, 0] - x_min + x_pad
+            ky = out[i, 1] - y_min + y_pad
+            if kx < 0 or ky < 0 or kx >= crop_w or ky >= crop_h:
+                out[i] = (-1.0, -1.0)
+            elif normalize:
+                out[i] = (kx / crop_w, ky / crop_h)
+            else:
+                out[i] = (kx, ky)
+    return out
 
 
 def window_from_mask_bbox(mask: jnp.ndarray, window: Window, out_size: int) -> Window:

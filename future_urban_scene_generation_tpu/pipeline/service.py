@@ -186,26 +186,21 @@ class SceneService:
         return frame
 
     def _write_outputs(self, frame_id, frames_icn, frames_vunet) -> List[Path]:
+        from future_urban_scene_generation_tpu.utils.native import AsyncPngWriter
+
         video_dir = Path(self.cfg.video_dir).resolve()
         scene_cam = f"{video_dir.parts[-2]}_{video_dir.parts[-1]}"
+        writer = AsyncPngWriter(n_threads=4)
         out = []
         for branch, frames in (("warp&learn", frames_icn), ("vunet", frames_vunet)):
             branch_dir = Path(self.cfg.output_dir) / branch / scene_cam
             branch_dir.mkdir(parents=True, exist_ok=True)
             for i, fid in enumerate(range(frame_id, frame_id + 2 * len(frames), 2)):
                 path = branch_dir / f"{fid:04}.png"
-                self._write_png(path, frames[i])
+                writer.submit(path, np.clip(frames[i] * 255.0, 0, 255).astype(np.uint8))
                 out.append(path)
+        errors = writer.flush()
+        writer.close()
+        if errors:
+            raise IOError(f"{errors} PNG writes failed under {self.cfg.output_dir}")
         return out
-
-    @staticmethod
-    def _write_png(path, rgb01: np.ndarray):
-        arr = np.clip(rgb01 * 255.0, 0, 255).astype(np.uint8)
-        try:
-            import cv2
-
-            cv2.imwrite(str(path), arr[..., ::-1])
-        except ImportError:
-            from PIL import Image
-
-            Image.fromarray(arr).save(path)

@@ -318,21 +318,25 @@ def composite_step(background, crops, windows, masks):
 
 
 def _mask_to_frame(mask_crop, window: cr.Window, hw) -> jnp.ndarray:
-    """Nearest-sample a crop-resolution mask at frame pixels inside the window."""
+    """Sample a crop-resolution mask at frame pixels inside the window (separable
+    scale_and_translate of the float mask, thresholded — gather-free)."""
     h, w = hw
     s = mask_crop.shape[0]
+    canvas = jax.image.scale_and_translate(
+        mask_crop.astype(jnp.float32)[..., None],
+        (h, w, 1),
+        (0, 1),
+        jnp.stack([window.h / s, window.w / s]),
+        jnp.stack([window.y_start, window.x_start]),
+        method="linear",
+        antialias=False,
+    )[..., 0]
     xs = jnp.arange(w, dtype=jnp.float32)[None, :]
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]
-    cx = (xs - window.x_start + 0.5) * (s / window.w) - 0.5
-    cy = (ys - window.y_start + 0.5) * (s / window.h) - 0.5
-    cxi = jnp.clip(jnp.round(cx).astype(jnp.int32), 0, s - 1)
-    cyi = jnp.clip(jnp.round(cy).astype(jnp.int32), 0, s - 1)
     inside = (
         (xs >= window.x_start)
         & (xs < window.x_start + window.w)
         & (ys >= window.y_start)
         & (ys < window.y_start + window.h)
     )
-    cyi = jnp.broadcast_to(cyi, (h, w))
-    cxi = jnp.broadcast_to(cxi, (h, w))
-    return mask_crop[cyi, cxi] & inside
+    return (canvas > 0.5) & inside

@@ -104,6 +104,64 @@ class ICNTrainer:
 # EdgeConnect
 # ---------------------------------------------------------------------------
 
+class VunetTrainer:
+    """Appearance-transfer trainer for the VUNet.
+
+    The reference ships no VUNet training driver; this follows the original VUNet
+    objective structure (Esser et al., CVPR 2018, which vunet/models.py implements):
+    reconstruction of the target view + a KL-style alignment between the appearance
+    posterior means (enc_down) and the shape decoder's autoregressive prior means
+    (dec_down), with unit-variance Gaussians so KL reduces to 0.5 * ||mu_a - mu_s||^2.
+    """
+
+    def __init__(self, vunet=None, recon_weight: float = 1.0, kl_weight: float = 1.0,
+                 lr: float = 1e-4):
+        from future_urban_scene_generation_tpu.models.vunet import Vunet
+
+        self.model = vunet or Vunet(vunet_256=False)
+        self.recon_weight = recon_weight
+        self.kl_weight = kl_weight
+        self.tx = optax.adam(lr, b1=0.5, b2=0.9)
+
+    def init(self, key, sample_shape, sample_app):
+        params = self.model.init(
+            {"params": key, "sample": key}, sample_shape, sample_app, cov=1.0
+        )
+        return params, self.tx.init(params)
+
+    def train_step(self, params, opt_state, key, y_tilde, x_app, target):
+        """y_tilde: dst sketch; x_app: appearance input (6ch); target: dst RGB, all
+        [-1, 1] NHWC."""
+
+        def loss_fn(p):
+            out_up, skips_up = self.model.apply(
+                p, x_app, method=self.model.forward_enc_up, deterministic=True
+            )
+            mu_app, z_app = self.model.apply(
+                p, out_up, skips_up, method=self.model.forward_enc_down,
+                deterministic=True, rngs={"sample": key},
+            )
+            out_dec, skips_dec = self.model.apply(
+                p, y_tilde, method=self.model.forward_dec_up, deterministic=True
+            )
+            x_tilde, mu_shape, _ = self.model.apply(
+                p, out_dec, skips_dec, z_app, method=self.model.forward_dec_down,
+                deterministic=True, rngs={"sample": key},
+            )
+            recon = jnp.mean(jnp.abs(x_tilde - target))
+            kl = sum(
+                0.5 * jnp.mean((ma - jax.lax.stop_gradient(ms)) ** 2)
+                for ma, ms in zip(mu_app, mu_shape)
+            )
+            total = self.recon_weight * recon + self.kl_weight * kl
+            return total, (recon, kl)
+
+        (loss, (recon, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = self.tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "recon": recon, "kl": kl}
+
+
 class EdgeModelTrainer:
     """EdgeModel.process parity (edgeconnect/models.py:87-128): nsgan + 10x FM loss."""
 

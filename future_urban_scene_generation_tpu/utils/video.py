@@ -19,6 +19,14 @@ def parse_tracking_file(video_dir, track_type: str, det_mode: str) -> np.ndarray
     path = Path(video_dir) / "mtsc" / f"mtsc_{track_type}_{det_mode}.txt"
     if not path.is_file():
         raise FileNotFoundError(path)
+    try:
+        from future_urban_scene_generation_tpu.utils.native import parse_tracking_native
+
+        parsed = parse_tracking_native(path)
+        if parsed is not None and len(parsed):
+            return parsed
+    except Exception:
+        pass  # fall through to the numpy parser
     content = np.loadtxt(path, delimiter=",")
     if content.ndim == 1:
         content = content[None]

@@ -1,0 +1,80 @@
+"""Metrics (PSNR/SSIM/edge accuracy) + native IO library."""
+import numpy as np
+import jax.numpy as jnp
+
+from future_urban_scene_generation_tpu.ops import metrics as M
+
+rng = np.random.RandomState(40)
+
+
+def test_psnr_formula():
+    a = jnp.asarray(rng.rand(32, 32, 3) * 255)
+    b = a + 10.0
+    # mse = 100 -> psnr = 20 log10(255) - 10 log10(100) = 48.13 - 20
+    expected = 20 * np.log10(255) - 10 * np.log10(100)
+    assert abs(float(M.psnr(a, b)) - expected) < 1e-3
+    assert float(M.psnr(a, a)) == 0.0  # reference's degenerate-case convention
+
+
+def test_edge_accuracy():
+    labels = jnp.zeros((16, 16)).at[4:8].set(1.0)
+    precision, recall = M.edge_accuracy(labels, labels)
+    assert float(precision) > 0.99 and float(recall) > 0.99
+    p0, r0 = M.edge_accuracy(jnp.zeros((8, 8)), jnp.zeros((8, 8)))
+    assert float(p0) == 1.0 and float(r0) == 1.0
+
+
+def test_ssim_properties():
+    img = rng.rand(64, 64, 3).astype(np.float32)
+    assert float(M.ssim(jnp.asarray(img), jnp.asarray(img))) > 0.9999
+    noisy = np.clip(img + rng.randn(64, 64, 3).astype(np.float32) * 0.2, 0, 1)
+    s_noisy = float(M.ssim(jnp.asarray(img), jnp.asarray(noisy)))
+    assert 0.05 < s_noisy < 0.9
+    slight = np.clip(img + rng.randn(64, 64, 3).astype(np.float32) * 0.01, 0, 1)
+    assert float(M.ssim(jnp.asarray(img), jnp.asarray(slight))) > s_noisy
+
+
+def test_native_png_and_tracking(tmp_path):
+    import cv2
+
+    from future_urban_scene_generation_tpu.utils import native
+
+    if native.get_native() is None:
+        import pytest
+
+        pytest.skip("native library unavailable (no compiler)")
+
+    rgb = rng.randint(0, 256, (48, 64, 3), np.uint8)
+    path = tmp_path / "out.png"
+    native.write_png(path, rgb)
+    back = cv2.imread(str(path))[..., ::-1]
+    assert np.array_equal(back, rgb)
+
+    writer = native.AsyncPngWriter(2)
+    paths = [tmp_path / f"a{i}.png" for i in range(5)]
+    for p in paths:
+        writer.submit(p, rgb)
+    assert writer.flush() == 0
+    writer.close()
+    for p in paths:
+        assert np.array_equal(cv2.imread(str(p))[..., ::-1], rgb)
+
+    rows = rng.rand(100, 10)
+    tp = tmp_path / "track.txt"
+    np.savetxt(tp, rows, delimiter=",")
+    parsed = native.parse_tracking_native(tp)
+    assert parsed.shape == (100, 6)
+    assert np.allclose(parsed, rows[:, :6], atol=1e-12)
+
+
+def test_async_writer_error_reporting(tmp_path):
+    from future_urban_scene_generation_tpu.utils import native
+
+    if native.get_native() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    writer = native.AsyncPngWriter(1)
+    writer.submit(tmp_path / "no_such_dir" / "x.png", np.zeros((8, 8, 3), np.uint8))
+    assert writer.flush() == 1
+    writer.close()
