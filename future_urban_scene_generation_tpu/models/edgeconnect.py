@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from future_urban_scene_generation_tpu.models.layers import (
+    SNConv,
     TorchConv,
     TorchConvTranspose,
     activation,
@@ -111,19 +112,25 @@ class InpaintGenerator(nn.Module):
 
 
 class ECDiscriminator(nn.Module):
-    """PatchGAN with feature taps (edgeconnect/networks.py:138-181)."""
+    """PatchGAN with feature taps (edgeconnect/networks.py:138-181).
+
+    ``spectral=True`` (training mode) uses power-iteration spectral norm like the
+    torch original; False (converted-checkpoint inference) uses plain folded convs.
+    """
 
     in_channels: int
     use_sigmoid: bool = True
+    spectral: bool = False
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        conv = SNConv if self.spectral else TorchConv
         lrelu = activation("lrelu")
-        c1 = lrelu(TorchConv(64, 4, 2, 1, use_bias=False, name="conv1_0")(x))
-        c2 = lrelu(TorchConv(128, 4, 2, 1, use_bias=False, name="conv2_0")(c1))
-        c3 = lrelu(TorchConv(256, 4, 2, 1, use_bias=False, name="conv3_0")(c2))
-        c4 = lrelu(TorchConv(512, 4, 1, 1, use_bias=False, name="conv4_0")(c3))
-        c5 = TorchConv(1, 4, 1, 1, use_bias=False, name="conv5_0")(c4)
+        c1 = lrelu(conv(64, 4, 2, 1, use_bias=False, name="conv1_0")(x))
+        c2 = lrelu(conv(128, 4, 2, 1, use_bias=False, name="conv2_0")(c1))
+        c3 = lrelu(conv(256, 4, 2, 1, use_bias=False, name="conv3_0")(c2))
+        c4 = lrelu(conv(512, 4, 1, 1, use_bias=False, name="conv4_0")(c3))
+        c5 = conv(1, 4, 1, 1, use_bias=False, name="conv5_0")(c4)
         out = activation("sigmoid")(c5) if self.use_sigmoid else c5
         return out, [c1, c2, c3, c4, c5]
 

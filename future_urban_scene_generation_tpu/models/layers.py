@@ -157,6 +157,63 @@ class TorchConvTranspose(nn.Module):
         return out
 
 
+class SNConv(nn.Module):
+    """Spectral-normalized conv with torch semantics (training mode).
+
+    torch's spectral_norm(dim=0): W_mat = W.view(out, -1); one power iteration per
+    forward updates u (stored, no gradient); w_eff = W / sigma with
+    sigma = u^T W_mat v. The iteration state lives in the 'spectral' variable
+    collection — pass ``mutable=["spectral"]`` during training steps; without it the
+    stored u is used read-only (torch eval mode). Inference from converted reference
+    checkpoints uses plain TorchConv with folded weights instead (models/convert.py).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.normal(0.02), (k, k, in_ch, self.features)
+        )
+        w_mat = kernel.transpose(3, 0, 1, 2).reshape(self.features, -1)
+        u_var = self.variable(
+            "spectral",
+            "u",
+            lambda: _l2_normalize(
+                jax.random.normal(self.make_rng("params"), (self.features,))
+            ),
+        )
+        u = jax.lax.stop_gradient(u_var.value)
+        v = _l2_normalize(w_mat.T @ u)
+        u_new = _l2_normalize(w_mat @ v)
+        u_new = jax.lax.stop_gradient(u_new)
+        v = jax.lax.stop_gradient(v)
+        sigma = u_new @ (w_mat @ v)
+        if not self.is_initializing() and self.is_mutable_collection("spectral"):
+            u_var.value = u_new
+        w = kernel / sigma
+        out = jax.lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros, (self.features,))
+        return out
+
+
+def _l2_normalize(v, eps: float = 1e-12):
+    return v / (jnp.linalg.norm(v) + eps)
+
+
 class WNConv(nn.Module):
     """Weight-normalized conv (torch weight_norm(conv, dim=0)): w = g * v / ||v||,
     norm taken per output channel over (kh, kw, in). Used throughout VUNet

@@ -154,6 +154,41 @@ def synthesize_scene(
     return SceneResult(frames_icn, frames_vunet, err, perception.cad_idx)
 
 
+def synthesize_scene_sharded(
+    models, cad_bank, frame, background, perception, meter_coords, intrinsic,
+    mesh, vis_scale: float = 1.0,
+):
+    """Run :func:`synthesize_scene` with the vehicle axis sharded over the mesh's
+    'data' axis (jax.sharding). Per-vehicle work (PnP, rendering, plane warps,
+    generator forwards) partitions across devices; the composite scan gathers
+    crops via XLA collectives. V must divide the data-axis size.
+
+    This is the multi-chip serving path for the reference's batch axis
+    (SURVEY §2.3: vehicles x steps, not sequence length).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    perception = type(perception)(
+        cad_idx=jax.device_put(perception.cad_idx, data_sh),
+        kp_frame=jax.device_put(perception.kp_frame, data_sh),
+        window=jax.tree.map(lambda f: jax.device_put(f, data_sh), perception.window),
+        crop=jax.device_put(perception.crop, data_sh),
+    )
+    meter_coords = jax.device_put(meter_coords, data_sh)
+    frame = jax.device_put(frame, repl)
+    background = jax.device_put(background, repl)
+    intrinsic = jax.device_put(intrinsic, repl)
+    models = jax.tree.map(lambda p: jax.device_put(p, repl), models)
+    cad_bank = jax.tree.map(lambda p: jax.device_put(p, repl), cad_bank)
+    return synthesize_scene(
+        models, cad_bank, frame, background, perception, meter_coords, intrinsic,
+        vis_scale=vis_scale,
+    )
+
+
 def build_cad_bank(meshes, keypoints, scale: float = 5.0) -> CadBank:
     """Pad a list of (TriangleMesh, (12,3) kp) into a CadBank (run_test.py:146-153's
     x5 vertex scaling applied here)."""

@@ -33,6 +33,9 @@ class GANTrainState(NamedTuple):
     gen_opt_state: Any
     dis_opt_state: Any
     iteration: jnp.ndarray
+    # Power-iteration state for spectral-normalized discriminators ('spectral'
+    # collection); None for non-SN trainers.
+    dis_state: Any = None
 
 
 def make_optimizers(lr: float = 1e-4, d2g_lr: float = 0.1, b1: float = 0.0, b2: float = 0.9):
@@ -167,7 +170,9 @@ class EdgeModelTrainer:
 
     def __init__(self, fm_weight: float = 10.0, lr: float = 1e-4, gan_kind: str = "nsgan"):
         self.gen = ec.EdgeGenerator()
-        self.dis = ec.ECDiscriminator(in_channels=2, use_sigmoid=gan_kind != "hinge")
+        self.dis = ec.ECDiscriminator(
+            in_channels=2, use_sigmoid=gan_kind != "hinge", spectral=True
+        )
         self.fm_weight = fm_weight
         self.gan_kind = gan_kind
         self.gen_tx, self.dis_tx = make_optimizers(lr)
@@ -176,24 +181,33 @@ class EdgeModelTrainer:
         kg, kd = jax.random.split(key)
         h, w = hw
         gen_params = self.gen.init(kg, jnp.zeros((1, h, w, 3)))
-        dis_params = self.dis.init(kd, jnp.zeros((1, h, w, 2)))
+        dis_vars = self.dis.init(kd, jnp.zeros((1, h, w, 2)))
+        dis_params = {"params": dis_vars["params"]}
         return GANTrainState(
             gen_params, dis_params,
             self.gen_tx.init(gen_params), self.dis_tx.init(dis_params),
             jnp.int32(0),
+            dis_state=dis_vars["spectral"],
         )
+
+    def _dis_apply(self, dis_params, spectral, x, mutable=False):
+        variables = {"params": dis_params["params"], "spectral": spectral}
+        if mutable:
+            return self.dis.apply(variables, x, mutable=["spectral"])
+        return self.dis.apply(variables, x), None
 
     def train_step(self, state, images_gray, edges, masks):
         outputs = ec.edge_model_forward(state.gen_params, images_gray, edges, masks,
                                         generator=self.gen)
+        real_in = jnp.concatenate([images_gray, edges], axis=-1)
+        spectral = state.dis_state
 
         def dis_loss_fn(dis_params):
-            real_in = jnp.concatenate([images_gray, edges], axis=-1)
             fake_in = jnp.concatenate(
                 [images_gray, jax.lax.stop_gradient(outputs)], axis=-1
             )
-            d_real, _ = self.dis.apply(dis_params, real_in)
-            d_fake, _ = self.dis.apply(dis_params, fake_in)
+            (d_real, _), _ = self._dis_apply(dis_params, spectral, real_in)
+            (d_fake, _), _ = self._dis_apply(dis_params, spectral, fake_in)
             return (
                 ec.adversarial_loss(d_real, True, True, self.gan_kind)
                 + ec.adversarial_loss(d_fake, False, True, self.gan_kind)
@@ -206,10 +220,9 @@ class EdgeModelTrainer:
         def gen_loss_fn(gen_params):
             out_g = ec.edge_model_forward(gen_params, images_gray, edges, masks,
                                           generator=self.gen)
-            real_in = jnp.concatenate([images_gray, edges], axis=-1)
             fake_in = jnp.concatenate([images_gray, out_g], axis=-1)
-            d_fake, fake_feat = self.dis.apply(dis_params, fake_in)
-            _, real_feat = self.dis.apply(dis_params, real_in)
+            (d_fake, fake_feat), _ = self._dis_apply(dis_params, spectral, fake_in)
+            (_, real_feat), _ = self._dis_apply(dis_params, spectral, real_in)
             adv = ec.adversarial_loss(d_fake, True, False, self.gan_kind)
             fm = sum(
                 jnp.mean(jnp.abs(f - jax.lax.stop_gradient(r)))
@@ -223,8 +236,13 @@ class EdgeModelTrainer:
         gen_updates, gen_opt_state = self.gen_tx.update(gen_grads, state.gen_opt_state)
         gen_params = optax.apply_updates(state.gen_params, gen_updates)
 
+        # Advance the power iteration once per step (torch advances per D forward;
+        # both converge to the same dominant singular pair — PARITY.md §12).
+        _, new_sp = self._dis_apply(dis_params, spectral, real_in, mutable=True)
+
         new_state = GANTrainState(
-            gen_params, dis_params, gen_opt_state, dis_opt_state, state.iteration + 1
+            gen_params, dis_params, gen_opt_state, dis_opt_state, state.iteration + 1,
+            dis_state=new_sp["spectral"],
         )
         return new_state, {"l_d1": dis_loss, "l_g1": adv, "l_fm": fm}
 
@@ -242,7 +260,9 @@ class InpaintingModelTrainer:
         gan_kind: str = "nsgan",
     ):
         self.gen = ec.InpaintGenerator()
-        self.dis = ec.ECDiscriminator(in_channels=3, use_sigmoid=gan_kind != "hinge")
+        self.dis = ec.ECDiscriminator(
+            in_channels=3, use_sigmoid=gan_kind != "hinge", spectral=True
+        )
         self.vgg = VGG19Features()
         self.weights = (adv_weight, l1_weight, content_weight, style_weight)
         self.gan_kind = gan_kind
@@ -252,22 +272,33 @@ class InpaintingModelTrainer:
         kg, kd = jax.random.split(key)
         h, w = hw
         gen_params = self.gen.init(kg, jnp.zeros((1, h, w, 4)))
-        dis_params = self.dis.init(kd, jnp.zeros((1, h, w, 3)))
+        dis_vars = self.dis.init(kd, jnp.zeros((1, h, w, 3)))
+        dis_params = {"params": dis_vars["params"]}
         self.vgg_params = vgg_params
         return GANTrainState(
             gen_params, dis_params,
             self.gen_tx.init(gen_params), self.dis_tx.init(dis_params),
             jnp.int32(0),
+            dis_state=dis_vars["spectral"],
         )
+
+    def _dis_apply(self, dis_params, spectral, x, mutable=False):
+        variables = {"params": dis_params["params"], "spectral": spectral}
+        if mutable:
+            return self.dis.apply(variables, x, mutable=["spectral"])
+        return self.dis.apply(variables, x), None
 
     def train_step(self, state, vgg_params, images, edges, masks):
         adv_w, l1_w, content_w, style_w = self.weights
         outputs = ec.inpaint_model_forward(state.gen_params, images, edges, masks,
                                            generator=self.gen)
+        spectral = state.dis_state
 
         def dis_loss_fn(dis_params):
-            d_real, _ = self.dis.apply(dis_params, images)
-            d_fake, _ = self.dis.apply(dis_params, jax.lax.stop_gradient(outputs))
+            (d_real, _), _ = self._dis_apply(dis_params, spectral, images)
+            (d_fake, _), _ = self._dis_apply(
+                dis_params, spectral, jax.lax.stop_gradient(outputs)
+            )
             return (
                 ec.adversarial_loss(d_real, True, True, self.gan_kind)
                 + ec.adversarial_loss(d_fake, False, True, self.gan_kind)
@@ -280,7 +311,7 @@ class InpaintingModelTrainer:
         def gen_loss_fn(gen_params):
             out_g = ec.inpaint_model_forward(gen_params, images, edges, masks,
                                              generator=self.gen)
-            d_fake, _ = self.dis.apply(dis_params, out_g)
+            (d_fake, _), _ = self._dis_apply(dis_params, spectral, out_g)
             adv = ec.adversarial_loss(d_fake, True, False, self.gan_kind) * adv_w
             l1 = jnp.mean(jnp.abs(out_g - images)) * l1_w / jnp.mean(masks)
             feats_x = self.vgg.apply(vgg_params, out_g)
@@ -298,8 +329,12 @@ class InpaintingModelTrainer:
         gen_updates, gen_opt_state = self.gen_tx.update(gen_grads, state.gen_opt_state)
         gen_params = optax.apply_updates(state.gen_params, gen_updates)
 
+        # Advance the D's power iteration once per step (PARITY.md §12).
+        _, new_sp = self._dis_apply(dis_params, spectral, images, mutable=True)
+
         new_state = GANTrainState(
-            gen_params, dis_params, gen_opt_state, dis_opt_state, state.iteration + 1
+            gen_params, dis_params, gen_opt_state, dis_opt_state, state.iteration + 1,
+            dis_state=new_sp["spectral"],
         )
         return new_state, {
             "l_d2": dis_loss, "l_g2": adv, "l_l1": l1, "l_per": content, "l_sty": style,

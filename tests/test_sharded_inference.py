@@ -1,0 +1,81 @@
+"""Vehicle-axis sharding of the inference geometry path on the 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from future_urban_scene_generation_tpu.geometry import pnp
+from future_urban_scene_generation_tpu.geometry import projection as proj
+from future_urban_scene_generation_tpu.parallel import mesh as pmesh
+from future_urban_scene_generation_tpu.pipeline import stages
+from future_urban_scene_generation_tpu.render import rasterizer as rz
+from future_urban_scene_generation_tpu.utils import mesh as mu
+
+rng = np.random.RandomState(50)
+
+K = np.array([[800.0, 0, 320], [0, 800.0, 240], [0, 0, 1]], dtype=np.float32)
+
+
+def _poses(n):
+    from future_urban_scene_generation_tpu.geometry.rotations import x_rot, z_rot
+
+    pts3d = mu.make_test_car()[1].astype(np.float32) * 5.0
+    kp2ds = []
+    for v in range(n):
+        ext = np.eye(4, dtype=np.float32)
+        ext[:3, :3] = np.asarray(x_rot(jnp.float32(-1.2)) @ z_rot(jnp.float32(0.3 * v)))
+        ext[:3, 3] = [v - n / 2, 1.0, 16.0 + v]
+        kp2ds.append(
+            np.asarray(proj.project_points_extrinsic(jnp.asarray(pts3d), jnp.asarray(K), jnp.asarray(ext)))
+        )
+    return pts3d, np.stack(kp2ds).astype(np.float32)
+
+
+def test_sharded_pnp_matches_unsharded():
+    m = pmesh.make_mesh(data=8, model=1)
+    pts3d, kp2ds = _poses(8)
+    focals = jnp.asarray([K[0, 0], K[1, 1]])
+    centers = jnp.asarray([K[0, 2], K[1, 2]])
+
+    solve = jax.jit(
+        jax.vmap(lambda kp: pnp.solve_pnp_4restarts(jnp.asarray(pts3d), kp, focals, centers))
+    )
+    err_ref, rv_ref, tv_ref = solve(jnp.asarray(kp2ds))
+
+    kp_sharded = jax.device_put(jnp.asarray(kp2ds), NamedSharding(m, P("data")))
+    err_sh, rv_sh, tv_sh = solve(kp_sharded)
+    # Distributed execution, same math.
+    assert np.allclose(np.asarray(err_ref), np.asarray(err_sh), atol=1e-5)
+    assert np.allclose(np.asarray(tv_ref), np.asarray(tv_sh), atol=1e-3)
+    # The output really is sharded over devices.
+    assert len(err_sh.sharding.device_set) == 8
+
+
+def test_sharded_render_matches_unsharded():
+    m = pmesh.make_mesh(data=8, model=1)
+    car, _ = mu.make_test_car(subdiv=1)
+    car = car.with_vertices(car.vertices * 5.0)
+    normals = mu.compute_vertex_normals(car)
+    verts = jnp.asarray(car.vertices, jnp.float32)
+    tris = jnp.asarray(car.triangles)
+    nrm = jnp.asarray(normals, jnp.float32)
+    cam = rz.Camera.from_intrinsic(jnp.asarray(K))
+
+    exts = []
+    from future_urban_scene_generation_tpu.geometry.rotations import x_rot, z_rot
+
+    for v in range(8):
+        ext = np.eye(4, dtype=np.float32)
+        ext[:3, :3] = np.asarray(x_rot(jnp.float32(-1.2)) @ z_rot(jnp.float32(0.2 * v)))
+        ext[:3, 3] = [0, 1.0, 15.0 + v]
+        exts.append(ext)
+    exts = jnp.asarray(np.stack(exts))
+
+    render = jax.jit(
+        jax.vmap(lambda e: rz.render_normal_sketch(verts, tris, nrm, e, cam, (64, 128)))
+    )
+    img_ref, bg_ref = render(exts)
+    exts_sh = jax.device_put(exts, NamedSharding(m, P("data")))
+    img_sh, bg_sh = render(exts_sh)
+    assert np.array_equal(np.asarray(bg_ref), np.asarray(bg_sh))
+    assert np.abs(np.asarray(img_ref) - np.asarray(img_sh)).max() < 1e-5
