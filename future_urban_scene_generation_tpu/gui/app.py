@@ -32,6 +32,7 @@ def launch_gui(cfg):
             self.setWindowTitle("Future scene synthesis (TPU)")
             self.frame_id = max(1, cfg.frame_id)
             self.selected_ids = []
+            self.preview_id = None
             self.label = QtWidgets.QLabel()
             self.run_btn = QtWidgets.QPushButton("RUN")
             self.run_btn.clicked.connect(self.perform_test)
@@ -63,9 +64,41 @@ def launch_gui(cfg):
                     bbox.draw(img, color)
                 except Exception:
                     pass
+            if self.preview_id is not None:
+                h, w = service.frame_hw
+                rows = vio.select_future_track(
+                    service.trajectories, self.preview_id, self.frame_id, stride=1,
+                    steps=60,
+                )
+                pts = [
+                    BoundingBox(*r[2:6], bounds=(0, w - 1, 0, h - 1),
+                                scale=cfg.bbox_scale).mid_bottom
+                    for r in rows
+                ]
+                try:
+                    import cv2
+
+                    for a, b in zip(pts[:-1], pts[1:]):
+                        cv2.line(img, tuple(map(int, a)), tuple(map(int, b)),
+                                 (255, 255, 0), 2)
+                except ImportError:
+                    pass
             h, w, _ = img.shape
             qimg = QtGui.QImage(img.tobytes(), w, h, 3 * w, QtGui.QImage.Format_RGB888)
             self.label.setPixmap(QtGui.QPixmap.fromImage(qimg))
+
+        def mousePressEvent(self, event):
+            # Single click previews the clicked vehicle's future trajectory as a
+            # mid-bottom polyline (GUI/app_interface.py:244-273).
+            pos = self.label.mapFrom(self, event.pos())
+            point = (pos.x(), pos.y())
+            for vid, bbox in self.current_bboxes().items():
+                if bbox.contains(point):
+                    self.preview_id = vid
+                    break
+            else:
+                self.preview_id = None
+            self.refresh()
 
         def mouseDoubleClickEvent(self, event):  # select vehicle
             pos = self.label.mapFrom(self, event.pos())

@@ -39,6 +39,45 @@ def _bilinear_sample(img, xs, ys):
     return top * (1.0 - fy) + bot * fy
 
 
+def pack_bilinear_table(img: jnp.ndarray) -> jnp.ndarray:
+    """Precompute the 4-tap neighborhood table for single-gather bilinear sampling.
+
+    TPU gathers cost per INDEX, not per element (measured 4x: 369 ms -> 93 ms for
+    120 x 256^2 samples), so packing the 2x2 neighborhood into channels turns the
+    4 gathers of bilinear interpolation into one. The image is zero-padded by one
+    pixel first so out-of-range taps reproduce `_bilinear_sample`'s zero border.
+
+    Returns (H+1, W+1, 4C): channel groups [v00 | v01 | v10 | v11] where vrc is the
+    neighbor at (y+r, x+c) of padded coordinate (y, x).
+    """
+    padded = jnp.pad(img, ((1, 1), (1, 1), (0, 0)))
+    return jnp.concatenate(
+        [padded[:-1, :-1], padded[:-1, 1:], padded[1:, :-1], padded[1:, 1:]], axis=-1
+    )
+
+
+def bilinear_sample_packed(
+    packed: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray
+) -> jnp.ndarray:
+    """Sample a pack_bilinear_table output at float coords (original-image frame)."""
+    hp, wp = packed.shape[0], packed.shape[1]  # H+1, W+1
+    c = packed.shape[-1] // 4
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    fx = (xs - x0)[..., None]
+    fy = (ys - y0)[..., None]
+    # Shift into padded coords; fully-outside indices clip to the zero border.
+    xi = jnp.clip(x0.astype(jnp.int32) + 1, 0, wp - 1)
+    yi = jnp.clip(y0.astype(jnp.int32) + 1, 0, hp - 1)
+    inb = (xs > -1.0) & (xs < wp - 1.0) & (ys > -1.0) & (ys < hp - 1.0)
+    v = packed[yi, xi]
+    v00, v01, v10, v11 = (v[..., i * c:(i + 1) * c] for i in range(4))
+    top = v00 * (1.0 - fx) + v01 * fx
+    bot = v10 * (1.0 - fx) + v11 * fx
+    out = top * (1.0 - fy) + bot * fy
+    return jnp.where(inb[..., None], out, 0.0)
+
+
 def warp_perspective(
     img: jnp.ndarray, h_mat: jnp.ndarray, out_hw: Tuple[int, int]
 ) -> jnp.ndarray:

@@ -107,17 +107,25 @@ def synthesize_scene(
             theta_v, tr_v
         )
 
-        # Appearance encodings: once per vehicle, from the source pose (step 0).
+        # Per-vehicle one-time work: appearance encoding, ICN prior, and the
+        # source-texture table the plane warps gather from (VMEM-sized; gathering
+        # from the full 1080p frame measured ~10x slower).
         src_window = jax.tree.map(lambda f: f[0], windows)
         mu_app = vunet_encode_appearance(
             models, frame, sketches[0], veh_masks[0], src_window
         )
         central_lab = _to_signed_lab(central_crop_patch(frame, bbox_window))
+        from future_urban_scene_generation_tpu.ops.warp import pack_bilinear_table
+
+        src_packed = pack_bilinear_table(
+            stages.cr.crop_resize(frame, src_window, stages.SRC_TABLE)
+        )
 
         def per_step_synth(sketch_s, window_fields_s, vis_s, polys_s):
             window_s = stages.cr.Window(*window_fields_s)
             planes_warped = warp_planes_to_crop(
-                frame, polys[0], polys_s, visibilities[0], vis_s, window_s
+                src_packed, src_window, polys[0], polys_s, visibilities[0], vis_s,
+                window_s,
             )
             icn_rgb = icn_synthesize(models, sketch_s, central_lab, planes_warped)
             vunet_rgb = vunet_synthesize(models, sketch_s, mu_app)
@@ -136,21 +144,33 @@ def synthesize_scene(
     )
     # Shapes: (V, S+1, 256, 256, 3), masks (V, S+1, 256, 256), windows fields (V, S+1).
 
-    # --- Stage 6: composite (scan over V per step) ---------------------------------
-    def per_step_composite(s):
-        windows_s = stages.cr.Window(*(f[:, s] for f in win_fields))
-        frame_icn = composite_step(
-            background, icn_crops[:, s], windows_s, veh_masks[:, s]
-        )
-        frame_vunet = composite_step(
-            background, vunet_crops[:, s], windows_s, veh_masks[:, s]
-        )
+    # Fault barrier (branchless counterpart of the reference's per-vehicle/per-step
+    # try/except skips, trajectory_inference.py:252-253, 444-445): a vehicle-step
+    # whose synthesis produced non-finite values or a degenerate window contributes
+    # nothing to the composite instead of corrupting the frame.
+    finite_ok = jnp.all(jnp.isfinite(icn_crops), axis=(2, 3, 4)) & jnp.all(
+        jnp.isfinite(vunet_crops), axis=(2, 3, 4)
+    )  # (V, S+1)
+    window_ok = (win_fields[2] > 1.0) & (win_fields[3] > 1.0)
+    ok = (finite_ok & window_ok)[:, :, None, None]
+    veh_masks = veh_masks & ok
+    icn_crops = jnp.where(jnp.isfinite(icn_crops), icn_crops, 0.0)
+    vunet_crops = jnp.where(jnp.isfinite(vunet_crops), vunet_crops, 0.0)
+
+    # --- Stage 6: composite (vmap over steps, scan over V inside) ------------------
+    def per_step_composite(icn_s, vunet_s, win_fields_s, masks_s):
+        windows_s = stages.cr.Window(*win_fields_s)
+        frame_icn = composite_step(background, icn_s, windows_s, masks_s)
+        frame_vunet = composite_step(background, vunet_s, windows_s, masks_s)
         return frame_icn, frame_vunet
 
-    n_steps = meter_coords.shape[1]
-    frames = [per_step_composite(s) for s in range(n_steps)]
-    frames_icn = jnp.stack([f[0] for f in frames])
-    frames_vunet = jnp.stack([f[1] for f in frames])
+    step_fields = tuple(jnp.swapaxes(f, 0, 1) for f in win_fields)  # (S+1, V)
+    frames_icn, frames_vunet = jax.vmap(per_step_composite)(
+        jnp.swapaxes(icn_crops, 0, 1),
+        jnp.swapaxes(vunet_crops, 0, 1),
+        step_fields,
+        jnp.swapaxes(veh_masks, 0, 1),
+    )
     return SceneResult(frames_icn, frames_vunet, err, perception.cad_idx)
 
 

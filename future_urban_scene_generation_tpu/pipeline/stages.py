@@ -169,9 +169,17 @@ def render_vehicle(
     return sketch, jnp.logical_not(bg), window
 
 
+# Resolution of the per-vehicle source-texture table the plane warp gathers from.
+# Vehicles occupy a few hundred frame pixels, so a 512^2 window resample is
+# effectively lossless while keeping the gather table VMEM-sized (the same gathers
+# against the full 1080p frame in HBM measured ~10x slower).
+SRC_TABLE = 512
+
+
 @full_precision
 def warp_planes_to_crop(
-    frame: jnp.ndarray,
+    src_packed: jnp.ndarray,
+    src_window: cr.Window,
     src_polys: jnp.ndarray,
     dst_polys: jnp.ndarray,
     src_vis: jnp.ndarray,
@@ -180,12 +188,20 @@ def warp_planes_to_crop(
 ) -> jnp.ndarray:
     """Warped texture planes directly in dst-crop coordinates: one gather per plane.
 
-    For dst-crop pixel q: frame point p = window(q); src point s = H_f^{-1}(p);
-    value = frame(s) * [s inside src polygon]. Skip/symmetry rules as
-    warp_unwarp_planes (warp_learn/planes_utils.py:46-68). Returns (5, S, S, 3).
+    For dst-crop pixel q: frame point p = window(q); src frame point s = H_f^{-1}(p);
+    value = src texture(s mapped into the source window) * [s inside src polygon].
+    Skip/symmetry rules as warp_unwarp_planes (warp_learn/planes_utils.py:46-68).
+
+    src_packed is the pack_bilinear_table of the source-pose window resampled to
+    SRC_TABLE^2 (built once per vehicle, shared by all steps/planes): TPU gathers
+    cost per index, so the packed table's single 12-channel gather per pixel is 4x
+    faster than 4-tap bilinear. Returns (5, S, S, 3).
     """
+    from future_urban_scene_generation_tpu.ops.warp import bilinear_sample_packed
+
     s_res = SKETCH_RES
     left, right = vis.SYMMETRY_PAIR
+    table = src_packed.shape[0] - 1  # packed table is (T+1, T+1, 12)
 
     # dst-crop pixel centers -> frame coords (resize convention).
     qs = (jnp.arange(s_res, dtype=jnp.float32) + 0.5) / s_res
@@ -207,7 +223,7 @@ def warp_planes_to_crop(
             inside = inside ^ (straddle & (pts_x < x_cross))
         return inside
 
-    out = jnp.zeros((vis.NUM_TEXTURE_PLANES, s_res, s_res, frame.shape[-1]), frame.dtype)
+    out = jnp.zeros((vis.NUM_TEXTURE_PLANES, s_res, s_res, src_packed.shape[-1] // 4), src_packed.dtype)
     for i in range(vis.NUM_TEXTURE_PLANES):
         in_symmetry = i in (left, right)
         other = right if i == left else left
@@ -225,16 +241,19 @@ def warp_planes_to_crop(
         denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
         sx = (h_inv[0, 0] * px + h_inv[0, 1] * py + h_inv[0, 2]) / denom
         sy = (h_inv[1, 0] * px + h_inv[1, 1] * py + h_inv[1, 2]) / denom
-        tex = _bilinear_sample(frame, sx, sy)
+        # Frame coords -> src-table coords (inverse of the crop_resize map).
+        tx = (sx - src_window.x_start + 0.5) * (table / src_window.w) - 0.5
+        ty = (sy - src_window.y_start + 0.5) * (table / src_window.h) - 0.5
+        tex = bilinear_sample_packed(src_packed, tx, ty)
         mask = inside_poly(sx, sy, src_polys[i])
         ok = valid & jnp.logical_not(skip)
-        tex = tex * mask[..., None].astype(frame.dtype)
+        tex = tex * mask[..., None].astype(src_packed.dtype)
 
         # Write into destination slot j with the reference's sequential-overwrite
         # semantics (planes_utils.py:79: planes_warped[j] = src_warped).
         write = (
-            jax.nn.one_hot(j, vis.NUM_TEXTURE_PLANES, dtype=frame.dtype)
-            * ok.astype(frame.dtype)
+            jax.nn.one_hot(j, vis.NUM_TEXTURE_PLANES, dtype=src_packed.dtype)
+            * ok.astype(src_packed.dtype)
         )[:, None, None, None]
         out = out * (1.0 - write) + tex[None] * write
     return out
