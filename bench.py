@@ -18,8 +18,19 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # Persistent compile cache: the full-scene jit compiles in minutes; repeat bench
+    # runs (driver rounds) reuse the artifact.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 
     from future_urban_scene_generation_tpu.geometry.projection import (
         project_points_extrinsic,

@@ -67,7 +67,7 @@ def synthesize_scene(
     models: Models,
     cad_bank: CadBank,
     frame: jnp.ndarray,
-    background: jnp.ndarray,
+    background: jnp.ndarray,  # (H, W, 3) static, or (S+1, H, W, 3) per step (inpaint)
     perception,  # stages.Perception — possibly oracle-injected (tests/benchmarks)
     meter_coords: jnp.ndarray,
     intrinsic: jnp.ndarray,
@@ -75,6 +75,9 @@ def synthesize_scene(
 ) -> SceneResult:
     h, w = frame.shape[0], frame.shape[1]
     vis_hw = (int(h * vis_scale), int(w * vis_scale))
+    n_steps = meter_coords.shape[1]
+    if background.ndim == 3:
+        background = jnp.broadcast_to(background, (n_steps,) + background.shape)
 
     # --- Stage 2: pose (batched over V) -------------------------------------------
     err, rvec, tvec = solve_poses(perception, cad_bank, intrinsic)
@@ -158,14 +161,15 @@ def synthesize_scene(
     vunet_crops = jnp.where(jnp.isfinite(vunet_crops), vunet_crops, 0.0)
 
     # --- Stage 6: composite (vmap over steps, scan over V inside) ------------------
-    def per_step_composite(icn_s, vunet_s, win_fields_s, masks_s):
+    def per_step_composite(bg_s, icn_s, vunet_s, win_fields_s, masks_s):
         windows_s = stages.cr.Window(*win_fields_s)
-        frame_icn = composite_step(background, icn_s, windows_s, masks_s)
-        frame_vunet = composite_step(background, vunet_s, windows_s, masks_s)
+        frame_icn = composite_step(bg_s, icn_s, windows_s, masks_s)
+        frame_vunet = composite_step(bg_s, vunet_s, windows_s, masks_s)
         return frame_icn, frame_vunet
 
     step_fields = tuple(jnp.swapaxes(f, 0, 1) for f in win_fields)  # (S+1, V)
     frames_icn, frames_vunet = jax.vmap(per_step_composite)(
+        background,
         jnp.swapaxes(icn_crops, 0, 1),
         jnp.swapaxes(vunet_crops, 0, 1),
         step_fields,

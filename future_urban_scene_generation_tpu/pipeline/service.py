@@ -119,8 +119,6 @@ class SceneService:
         if frame is None:
             raise IOError(f"cannot read frame {frame_id}")
 
-        background = self._background(frame)
-
         bboxes, meter_tracks = [], []
         start = time.time()
         for vid in vehicle_ids:
@@ -151,6 +149,8 @@ class SceneService:
         if not bboxes:
             raise ValueError("no selected vehicle has a usable future track")
 
+        background = self._backgrounds(frame, frame_id, np.float32(bboxes))
+
         result = runner.run_scene(
             self.models,
             self.cad_bank,
@@ -171,19 +171,61 @@ class SceneService:
 
         return self._write_outputs(frame_id, frames_icn, frames_vunet)
 
-    def _background(self, frame: np.ndarray) -> np.ndarray:
+    def _backgrounds(self, frame: np.ndarray, frame_id: int, bboxes: np.ndarray):
+        """The backgrounds vehicles composite onto.
+
+        No-inpaint mode: the static background_frame.png for every step
+        (trajectory_inference.py:42-53). Inpaint mode: each future frame with its
+        vehicles erased by the segmenter + EdgeConnect (trajectory_inference.py:
+        107-145, 300-350) — returns an (S+1, H, W, 3) stack.
+        """
+        import jax.numpy as jnp
+
+        if self.cfg.inpaint and self.edge_params is not None and self.inpaint_params is not None:
+            from future_urban_scene_generation_tpu.models.detector import (
+                BackgroundDiffSegmenter,
+            )
+            from future_urban_scene_generation_tpu.pipeline.inpaint import erase_vehicles
+
+            static_bg = self._static_background()
+            segmenter = BackgroundDiffSegmenter(
+                jnp.asarray(static_bg if static_bg is not None else frame)
+            )
+            steps = []
+            for n in range(6):
+                cur = self.reader.read(frame_id + 2 * n) if n else frame
+                if cur is None:
+                    cur = frame
+                masks = np.stack(
+                    [np.asarray(segmenter(jnp.asarray(cur), jnp.asarray(b))) for b in bboxes]
+                )
+                erased = erase_vehicles(
+                    self.edge_params,
+                    self.inpaint_params,
+                    jnp.asarray(cur),
+                    jnp.asarray(bboxes),
+                    jnp.asarray(masks),
+                    sigma=float(self.cfg.edgeconnect.sigma),
+                )
+                steps.append(np.asarray(erased))
+            return np.stack(steps)
+
+        static_bg = self._static_background()
+        return static_bg if static_bg is not None else frame
+
+    def _static_background(self):
         bg_path = Path(self.cfg.video_dir) / "background_frame.png"
-        if not self.cfg.inpaint and bg_path.exists():
+        if bg_path.exists():
             try:
                 import cv2
 
                 bg = cv2.imread(str(bg_path))[..., ::-1].astype(np.float32) / 255.0
-                if bg.shape[:2] != self.frame_hw:
+                if bg.shape[:2] != tuple(self.frame_hw):
                     bg = cv2.resize(bg, (self.frame_hw[1], self.frame_hw[0]))
                 return bg
             except ImportError:
-                pass
-        return frame
+                return None
+        return None
 
     def _write_outputs(self, frame_id, frames_icn, frames_vunet) -> List[Path]:
         from future_urban_scene_generation_tpu.utils.native import AsyncPngWriter

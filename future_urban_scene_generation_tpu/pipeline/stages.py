@@ -235,7 +235,11 @@ def warp_planes_to_crop(
             skip = skip | jnp.logical_not(dst_vis[left] | dst_vis[right])
             j = jnp.where(dst_vis[i], i, other)
 
-        h12, valid = find_homography(src_polys[i], dst_polys[j])
+        # refine=False: the plane correspondences are projections of the same 3D
+        # points, so the normalized DLT is already (near-)exact; skipping the
+        # Gauss-Newton polish removes 50 jacfwd subgraphs from the scene program
+        # (the remote XLA compile was the bottleneck, not the solve quality).
+        h12, valid = find_homography(src_polys[i], dst_polys[j], refine=False)
         h_inv = jnp.linalg.inv(h12)
         denom = h_inv[2, 0] * px + h_inv[2, 1] * py + h_inv[2, 2] * ones
         denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)

@@ -85,3 +85,35 @@ def test_cli_requires_selection(dataset, tmp_path):
 
     rc = main([str(dataset), "x", "y"])
     assert rc == 2
+
+
+@pytest.mark.slow
+def test_cli_inpaint_mode_end_to_end(dataset, tmp_path):
+    """Inpaint branch: EdgeConnect checkpoints present -> per-step erased backgrounds."""
+    import torch
+
+    from torch_refs import _t_ec_generator
+
+    ckpt = tmp_path / "ckpts" / "inpainting"
+    ckpt.mkdir(parents=True)
+    edge = _t_ec_generator(3, 1, use_sn=True, blocks=8)
+    inpaint = _t_ec_generator(4, 3, use_sn=False, blocks=8)
+    torch.save({"iteration": 1, "generator": edge.state_dict()}, ckpt / "EdgeModel_gen.pth")
+    torch.save(
+        {"iteration": 1, "generator": inpaint.state_dict()}, ckpt / "InpaintingModel_gen.pth"
+    )
+    (ckpt / "config.yml").write_text("SIGMA: 2\n")
+
+    from future_urban_scene_generation_tpu.cli.run_test import main
+
+    out_dir = tmp_path / "results_inpaint"
+    rc = main([
+        str(dataset), str(tmp_path / "nokp"), str(tmp_path / "ckpts"),
+        "--select-ids", "7", "--frame-id", "1", "--inpaint",
+        "--output-dir", str(out_dir),
+        "--frame-hw", "-1", "-1",
+        "--vis-scale", "0.5",
+    ])
+    assert rc == 0
+    pngs = sorted(out_dir.rglob("*.png"))
+    assert len(pngs) == 12
