@@ -11,7 +11,7 @@ fc__0, score__0.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Dict, List
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -20,7 +20,7 @@ from torch's NCHW/OIHW done once at checkpoint-conversion time.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

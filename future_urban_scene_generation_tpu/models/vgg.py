@@ -12,7 +12,7 @@ convert mechanically (flatten_linear_key="classifier.0.weight", chw=(512, 7, 7))
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -20,7 +20,6 @@ mechanical checkpoint conversion of vunet/256/vunet.pth.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,8 +16,6 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Any, Dict, Optional
 
-import numpy as np
-
 
 def save(path, tree) -> None:
     import orbax.checkpoint as ocp

@@ -98,13 +98,15 @@ def icn_batch(
         textured = cr.stitch(
             frame, s_sk, s_win, stages._mask_to_frame(s_mask, s_win, frame.shape[:2])
         )
-        src_packed = pack_bilinear_table(cr.crop_resize(textured, s_win, stages.SRC_TABLE))
+        src_packed = pack_bilinear_table(
+            stages._to_signed_lab(cr.crop_resize(textured, s_win, stages.SRC_TABLE))
+        )
         planes = stages.warp_planes_to_crop(
             src_packed, s_win, s_polys, d_polys, s_vis, d_vis, d_win
         )
         central = stages._to_signed_lab(stages.central_crop_patch(textured, s_win))
         sketch_lab = stages._to_signed_lab(d_sk)
-        planes_lab = jnp.concatenate(list(stages._to_signed_lab(planes)), axis=-1)
+        planes_lab = jnp.concatenate(list(planes), axis=-1)
         x = jnp.concatenate([sketch_lab, central, planes_lab], axis=-1)
         y = stages._to_signed_lab(d_sk * d_mask[..., None])
         return x, y

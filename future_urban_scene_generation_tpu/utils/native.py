@@ -9,7 +9,7 @@ from __future__ import annotations
 import ctypes
 import subprocess
 from pathlib import Path
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
