@@ -31,18 +31,19 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    train: bool = False
 
     @nn.compact
     def __call__(self, x):
         relu = activation("relu")
         out = TorchConv(self.planes, 1, name="conv1")(
-            relu(TorchBatchNorm(x.shape[-1], name="bn1")(x))
+            relu(TorchBatchNorm(x.shape[-1], train=self.train, name="bn1")(x))
         )
         out = TorchConv(self.planes, 3, stride=self.stride, padding=1, name="conv2")(
-            relu(TorchBatchNorm(self.planes, name="bn2")(out))
+            relu(TorchBatchNorm(self.planes, train=self.train, name="bn2")(out))
         )
         out = TorchConv(self.planes * 2, 1, name="conv3")(
-            relu(TorchBatchNorm(self.planes, name="bn3")(out))
+            relu(TorchBatchNorm(self.planes, train=self.train, name="bn3")(out))
         )
         residual = x
         if self.downsample:
@@ -59,10 +60,11 @@ class Hourglass(nn.Module):
     planes: int
     depth: int = 4
     num_blocks: int = 1
+    train: bool = False
 
     def _residual_chain(self, i: int, j: int, x):
         for b in range(self.num_blocks):
-            x = Bottleneck(self.planes, name=f"hg_{i}_{j}_{b}")(x)
+            x = Bottleneck(self.planes, train=self.train, name=f"hg_{i}_{j}_{b}")(x)
         return x
 
     @nn.compact
@@ -91,28 +93,31 @@ class HourglassNet(nn.Module):
     num_blocks: int = 1
     num_classes: int = 12
     num_feats: int = 128
+    train: bool = False
 
     @nn.compact
     def __call__(self, x) -> Dict[str, List[jnp.ndarray]]:
+        t = self.train
         relu = activation("relu")
         x = TorchConv(64, 7, stride=2, padding=3, name="conv1")(x)
-        x = relu(TorchBatchNorm(64, name="bn1")(x))
-        x = Bottleneck(64, downsample=True, name="layer1_0")(x)
+        x = relu(TorchBatchNorm(64, train=t, name="bn1")(x))
+        x = Bottleneck(64, downsample=True, train=t, name="layer1_0")(x)
         x = max_pool2(x)
-        x = Bottleneck(128, downsample=True, name="layer2_0")(x)
-        x = Bottleneck(self.num_feats, name="layer3_0")(x)
+        x = Bottleneck(128, downsample=True, train=t, name="layer2_0")(x)
+        x = Bottleneck(self.num_feats, train=t, name="layer3_0")(x)
 
         ch = self.num_feats * 2
         heatmaps = []
         for i in range(self.num_stacks):
             y, _ = Hourglass(
-                self.num_feats, depth=4, num_blocks=self.num_blocks, name=f"hg_{i}"
+                self.num_feats, depth=4, num_blocks=self.num_blocks, train=t,
+                name=f"hg_{i}",
             )(x)
             for b in range(self.num_blocks):
-                y = Bottleneck(self.num_feats, name=f"res_{i}_{b}")(y)
+                y = Bottleneck(self.num_feats, train=t, name=f"res_{i}_{b}")(y)
             # fc: conv1x1 -> bn -> relu (stacked_hourglass/models.py:136-139)
             y = TorchConv(ch, 1, name=f"fc_{i}_0")(y)
-            y = relu(TorchBatchNorm(ch, name=f"fc_{i}_1")(y))
+            y = relu(TorchBatchNorm(ch, train=t, name=f"fc_{i}_1")(y))
             score = TorchConv(self.num_classes, 1, name=f"score_{i}")(y)
             heatmaps.append(score)
             if i < self.num_stacks - 1:

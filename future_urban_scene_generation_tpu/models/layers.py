@@ -275,10 +275,18 @@ class WarpLearnLayerNorm(nn.Module):
 
 
 class TorchBatchNorm(nn.Module):
-    """torch nn.BatchNorm2d in inference mode: running stats + affine."""
+    """torch nn.BatchNorm2d with params-resident running stats.
+
+    Inference (train=False): normalize by the stored running stats — matching eval()
+    of a converted torch checkpoint exactly. Training (train=True): normalize by the
+    batch statistics and `sow` them into the 'bn_stats' collection; the trainer
+    EMA-updates the params' running stats from the sown values (torch momentum
+    semantics) — see pipeline/training.update_bn_running_stats.
+    """
 
     features: int
     eps: float = 1e-5
+    train: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -286,6 +294,13 @@ class TorchBatchNorm(nn.Module):
         beta = self.param("beta", nn.initializers.zeros, (self.features,))
         mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
         var = self.param("running_var", nn.initializers.ones, (self.features,))
+        if self.train:
+            axes = tuple(range(x.ndim - 1))
+            batch_mean = jnp.mean(x, axis=axes)
+            batch_var = jnp.var(x, axis=axes)
+            self.sow("bn_stats", "mean", batch_mean)
+            self.sow("bn_stats", "var", batch_var)
+            mean, var = batch_mean, batch_var
         return (x - mean) * jax.lax.rsqrt(var + self.eps) * gamma + beta
 
 

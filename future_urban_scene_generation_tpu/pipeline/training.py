@@ -48,6 +48,110 @@ def make_optimizers(lr: float = 1e-4, d2g_lr: float = 0.1, b1: float = 0.0, b2: 
 # ICN (Warp&Learn)
 # ---------------------------------------------------------------------------
 
+def update_bn_running_stats(params, bn_stats, momentum: float = 0.1):
+    """torch BatchNorm running-stat EMA from sown batch statistics.
+
+    ``bn_stats`` is the 'bn_stats' collection from an apply with train=True: each BN
+    module holds {'mean': (stat,), 'var': (stat,)} at the same tree path as its
+    params. running <- (1 - momentum) * running + momentum * batch (torch converts
+    batch var to unbiased for the running update; batch sizes here are large enough
+    that we keep the biased value — sub-1e-3 relative difference).
+    """
+
+    def walk(p_node, s_node):
+        if isinstance(p_node, dict):
+            out = {}
+            for k, v in p_node.items():
+                s_child = s_node.get(k, None) if isinstance(s_node, dict) else None
+                if (
+                    k == "running_mean"
+                    and isinstance(s_node, dict)
+                    and "mean" in s_node
+                ):
+                    out[k] = (1 - momentum) * v + momentum * s_node["mean"][0]
+                elif (
+                    k == "running_var"
+                    and isinstance(s_node, dict)
+                    and "var" in s_node
+                ):
+                    out[k] = (1 - momentum) * v + momentum * s_node["var"][0]
+                elif s_child is not None:
+                    out[k] = walk(v, s_child)
+                else:
+                    out[k] = v
+            return out
+        return p_node
+
+    return walk(params, bn_stats)
+
+
+class HourglassTrainer:
+    """Keypoint-heatmap trainer with intermediate supervision (the reference trained
+    its hourglass externally; MSE over every stack's heatmaps is the standard
+    objective) and torch-faithful BatchNorm running-stat updates."""
+
+    def __init__(self, num_stacks: int = 2, num_blocks: int = 1, num_classes: int = 12,
+                 lr: float = 2.5e-4):
+        from future_urban_scene_generation_tpu.models.hourglass import HourglassNet
+
+        self.model = HourglassNet(
+            num_stacks=num_stacks, num_blocks=num_blocks, num_classes=num_classes,
+            train=True,
+        )
+        self.eval_model = HourglassNet(
+            num_stacks=num_stacks, num_blocks=num_blocks, num_classes=num_classes
+        )
+        self.tx = optax.adam(lr)
+
+    def init(self, key, hw=(256, 256)):
+        variables = self.model.init(key, jnp.zeros((1, hw[0], hw[1], 3)))
+        params = variables["params"]
+        return params, self.tx.init(params)
+
+    def train_step(self, params, opt_state, images, target_heatmaps):
+        """images: (B, H, W, 3) ImageNet-normalized; target_heatmaps: (B, h/4, w/4, K)."""
+
+        def loss_fn(p):
+            out, aux = self.model.apply(
+                {"params": p}, images, mutable=["bn_stats"]
+            )
+            loss = sum(
+                jnp.mean((hm - target_heatmaps) ** 2) for hm in out["heatmaps"]
+            )
+            return loss, aux["bn_stats"]
+
+        (loss, bn_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = self.tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        params = update_bn_running_stats(params, bn_stats)
+        return params, opt_state, {"loss": loss}
+
+
+class CadClassifierTrainer:
+    """Cross-entropy fine-tuning of the VGG19 CAD head (run_test.py:45-58's model;
+    the reference froze it at inference)."""
+
+    def __init__(self, num_classes: int = 10, lr: float = 1e-4):
+        from future_urban_scene_generation_tpu.models.vgg import VGG19Classifier
+
+        self.model = VGG19Classifier(num_classes=num_classes)
+        self.tx = optax.adam(lr)
+
+    def init(self, key, hw=(256, 256)):
+        params = self.model.init(key, jnp.zeros((1, hw[0], hw[1], 3)))
+        return params, self.tx.init(params)
+
+    def train_step(self, params, opt_state, images, labels):
+        def loss_fn(p):
+            logits = self.model.apply(p, images)
+            return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = self.tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss}
+
+
 class ICNTrainer:
     """LSGAN + L1 trainer for the 21->3 generator with the multi-scale PatchGAN."""
 
