@@ -1,0 +1,152 @@
+"""Training driver CLI.
+
+The reference ships GAN training machinery with no driver script (SURVEY §2.1); this
+driver closes the loop: pick a model family, feed it the synthetic on-device data
+generator (pipeline/datagen.py) or adapt a real loader to the same sample pytrees,
+checkpoint with Orbax, log metrics as JSONL.
+
+  python -m future_urban_scene_generation_tpu.cli.train \
+      --model icn --steps 200 --batch 8 --out /tmp/icn_run \
+      [--resume] [--save-interval 100] [--log-interval 10] [--mesh-model 1]
+
+Models: icn | vunet | edge | hourglass | cad
+"""
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", required=True,
+                   choices=["icn", "vunet", "edge", "hourglass", "cad"])
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--out", type=Path, default=Path("./train_run"))
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--save-interval", type=int, default=100)  # config.py:61
+    p.add_argument("--log-interval", type=int, default=10)  # config.py:65
+    p.add_argument("--seed", type=int, default=10)  # config.py:36
+    p.add_argument("--image-size", type=int, default=256)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from future_urban_scene_generation_tpu.pipeline import checkpoint, datagen, training
+    from future_urban_scene_generation_tpu.pipeline.runner import build_cad_bank
+    from future_urban_scene_generation_tpu.utils.mesh import make_test_car
+    from future_urban_scene_generation_tpu.utils.profiling import MetricsLogger
+
+    args.out.mkdir(parents=True, exist_ok=True)
+    logger = MetricsLogger(args.out / "metrics.jsonl")
+    key = jax.random.PRNGKey(args.seed)
+
+    mesh, kp3d = make_test_car(subdiv=2)
+    cad_bank = build_cad_bank([mesh] * 2, [kp3d] * 2, scale=5.0)
+    frame_hw = (360, 640)
+    intrinsic = jnp.asarray(
+        np.array([[450.0, 0, 320], [0, 450.0, 180], [0, 0, 1]], np.float32)
+    )
+    frame = jax.random.uniform(key, frame_hw + (3,))
+
+    ckpt_path = args.out / "checkpoint"
+    s = args.image_size
+
+    if args.model == "icn":
+        trainer = training.ICNTrainer(lr=args.lr)
+        state = trainer.init(key, jnp.zeros((1, s, s, 21)), jnp.zeros((1, s, s, 3)))
+        if args.resume and ckpt_path.exists():
+            state = checkpoint.restore(ckpt_path, template=state)
+        step_fn = jax.jit(trainer.train_step)
+        for i in range(int(state.iteration), args.steps):
+            key, sub = jax.random.split(key)
+            sample = datagen.icn_batch(
+                sub, cad_bank, frame, intrinsic, batch=args.batch,
+                frame_hw=frame_hw, vis_scale=0.25,
+            )
+            state, metrics = step_fn(state, sample.inputs, sample.targets)
+            _maybe_log_save(args, logger, checkpoint, ckpt_path, state, i, metrics)
+    elif args.model == "vunet":
+        from future_urban_scene_generation_tpu.models.vunet import Vunet
+
+        trainer = training.VunetTrainer(vunet=Vunet(vunet_256=s == 256), lr=args.lr)
+        params, opt_state = trainer.init(
+            key, jnp.zeros((1, s, s, 3)), jnp.zeros((1, s, s, 6))
+        )
+        if args.resume and ckpt_path.exists():
+            params, opt_state = checkpoint.restore(ckpt_path, template=(params, opt_state))
+        step_fn = jax.jit(trainer.train_step)
+        for i in range(args.steps):
+            key, sub = jax.random.split(key)
+            sample = datagen.vunet_batch(
+                sub, cad_bank, frame, intrinsic, batch=args.batch,
+                frame_hw=frame_hw, vis_scale=0.25,
+            )
+            params, opt_state, metrics = step_fn(
+                params, opt_state, sub, sample.y_tilde, sample.x_app, sample.target
+            )
+            _maybe_log_save(args, logger, checkpoint, ckpt_path, (params, opt_state), i, metrics)
+    elif args.model == "edge":
+        trainer = training.EdgeModelTrainer(lr=args.lr)
+        state = trainer.init(key, hw=(s, s))
+        if args.resume and ckpt_path.exists():
+            state = checkpoint.restore(ckpt_path, template=state)
+        step_fn = jax.jit(trainer.train_step)
+        for i in range(int(state.iteration), args.steps):
+            key, sub = jax.random.split(key)
+            imgs = jax.random.uniform(sub, (args.batch, s, s, 3))
+            gray, edges, masks = datagen.edgeconnect_batch(sub, imgs)
+            state, metrics = step_fn(state, gray, edges, masks)
+            _maybe_log_save(args, logger, checkpoint, ckpt_path, state, i, metrics)
+    elif args.model == "hourglass":
+        from future_urban_scene_generation_tpu.ops.heatmap import heatmaps_from_kpoints
+
+        trainer = training.HourglassTrainer(lr=args.lr)
+        params, opt_state = trainer.init(key, hw=(s, s))
+        if args.resume and ckpt_path.exists():
+            params, opt_state = checkpoint.restore(ckpt_path, template=(params, opt_state))
+        step_fn = jax.jit(trainer.train_step)
+        for i in range(args.steps):
+            key, sub = jax.random.split(key)
+            images = jax.random.uniform(sub, (args.batch, s, s, 3))
+            kps = jax.random.uniform(sub, (args.batch, 12, 2)) * 0.8 + 0.1
+            targets = jax.vmap(
+                lambda k: heatmaps_from_kpoints(k, (s // 4, s // 4), sigma=2.0)
+            )(kps)
+            params, opt_state, metrics = step_fn(params, opt_state, images, targets)
+            _maybe_log_save(args, logger, checkpoint, ckpt_path, (params, opt_state), i, metrics)
+    elif args.model == "cad":
+        trainer = training.CadClassifierTrainer(lr=args.lr)
+        params, opt_state = trainer.init(key, hw=(s, s))
+        if args.resume and ckpt_path.exists():
+            params, opt_state = checkpoint.restore(ckpt_path, template=(params, opt_state))
+        step_fn = jax.jit(trainer.train_step)
+        for i in range(args.steps):
+            key, sub = jax.random.split(key)
+            images = jax.random.uniform(sub, (args.batch, s, s, 3))
+            labels = jax.random.randint(sub, (args.batch,), 0, 10)
+            params, opt_state, metrics = step_fn(params, opt_state, images, labels)
+            _maybe_log_save(args, logger, checkpoint, ckpt_path, (params, opt_state), i, metrics)
+
+    print(f"trained {args.model} for {args.steps} steps; artifacts in {args.out}")
+    return 0
+
+
+def _maybe_log_save(args, logger, checkpoint, ckpt_path, state, i, metrics):
+    if args.log_interval and i % args.log_interval == 0:
+        rec = logger.log(i, **{k: float(v) for k, v in metrics.items()})
+        print(rec)
+    if args.save_interval and (i + 1) % args.save_interval == 0:
+        checkpoint.save(ckpt_path, state)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
