@@ -22,17 +22,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    data: int = -1, model: int = 1, devices: Optional[Sequence] = None
+    data: int = -1, model: int = 1, context: int = 1,
+    devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a (data, model) mesh. data=-1 uses all remaining devices."""
+    """Build a (data, model[, context]) mesh. data=-1 uses all remaining devices.
+
+    The 'context' axis has no referent in the reference (every network is a CNN on
+    256² crops — SURVEY §5), but the runtime reserves it for sequence/context
+    parallelism of future attention-based generators; with context=1 the mesh stays
+    2-axis for backward compatibility.
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    per_replica = model * context
     if data == -1:
-        if n % model:
-            raise ValueError(f"{n} devices not divisible by model={model}")
-        data = n // model
-    if data * model > n:
-        raise ValueError(f"mesh {data}x{model} exceeds {n} devices")
+        if n % per_replica:
+            raise ValueError(f"{n} devices not divisible by model*context={per_replica}")
+        data = n // per_replica
+    if data * per_replica > n:
+        raise ValueError(f"mesh {data}x{model}x{context} exceeds {n} devices")
+    if context > 1:
+        dev_array = np.asarray(devices[: data * per_replica]).reshape(data, model, context)
+        return Mesh(dev_array, axis_names=("data", "model", "context"))
     dev_array = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(dev_array, axis_names=("data", "model"))
 

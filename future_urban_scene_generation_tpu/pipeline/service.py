@@ -80,7 +80,16 @@ class SceneService:
         import jax.numpy as jnp
 
         from future_urban_scene_generation_tpu.pipeline import checkpoint
-        from future_urban_scene_generation_tpu.pipeline.stages import Models
+        from future_urban_scene_generation_tpu.pipeline.stages import (
+            Models,
+            configure_models,
+        )
+
+        configure_models(
+            num_stacks=self.cfg.stacks,
+            num_blocks=self.cfg.blocks,
+            vunet_256=self.cfg.reso == 256,
+        )
 
         zoo = {}
         if self.cfg.checkpoints_dir is not None and Path(self.cfg.checkpoints_dir).exists():

@@ -58,6 +58,27 @@ class CadBank(NamedTuple):
     keypoints3d: jnp.ndarray  # (C, 12, 3)
 
 
+# Process-wide architecture knobs (the reference's --stacks/--blocks/--reso flags,
+# run_test.py:111-118, plus the fixed zoo hyperparameters). Mutated once at startup
+# via configure_models(); jit retraces naturally because the param trees change.
+MODEL_SPEC = {
+    "num_stacks": 2,
+    "num_blocks": 1,
+    "num_keypoints": 12,
+    "num_cads": 10,
+    "icn_input_nc": 21,
+    "vunet_256": True,
+}
+
+
+def configure_models(**kwargs):
+    """Override architecture knobs (call before building params / running stages)."""
+    unknown = set(kwargs) - set(MODEL_SPEC)
+    if unknown:
+        raise ValueError(f"unknown model spec keys: {unknown}")
+    MODEL_SPEC.update(kwargs)
+
+
 class Models(NamedTuple):
     cad_params: dict
     hourglass_params: dict
@@ -67,10 +88,14 @@ class Models(NamedTuple):
     @staticmethod
     def modules():
         return (
-            VGG19Classifier(num_classes=10),
-            HourglassNet(num_stacks=2, num_blocks=1, num_classes=12),
-            GResnet(input_nc=21),
-            Vunet(vunet_256=True),
+            VGG19Classifier(num_classes=MODEL_SPEC["num_cads"]),
+            HourglassNet(
+                num_stacks=MODEL_SPEC["num_stacks"],
+                num_blocks=MODEL_SPEC["num_blocks"],
+                num_classes=MODEL_SPEC["num_keypoints"],
+            ),
+            GResnet(input_nc=MODEL_SPEC["icn_input_nc"]),
+            Vunet(vunet_256=MODEL_SPEC["vunet_256"]),
         )
 
 

@@ -16,6 +16,8 @@ def test_make_mesh_shapes():
     assert m.shape == {"data": 4, "model": 2}
     m2 = pmesh.make_mesh(model=2)
     assert m2.shape == {"data": 4, "model": 2}
+    m3 = pmesh.make_mesh(data=2, model=2, context=2)
+    assert m3.shape == {"data": 2, "model": 2, "context": 2}
 
 
 def test_param_shardings_rules():
