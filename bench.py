@@ -132,4 +132,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 — driver contract: always emit the line
+        print(
+            json.dumps(
+                {
+                    "metric": "composited_1080p_frames_per_sec",
+                    "value": 0.0,
+                    "unit": "frames/s",
+                    "vs_baseline": 0.0,
+                    "error": f"{type(exc).__name__}: {exc}"[:300],
+                }
+            )
+        )
+        raise
