@@ -249,22 +249,14 @@ def warp_planes_to_crop(
         LAB_BLACK_SIGNED.astype(src_packed.dtype),
         (vis.NUM_TEXTURE_PLANES, s_res, s_res, src_packed.shape[-1] // 4),
     )
-    for i in range(vis.NUM_TEXTURE_PLANES):
-        in_symmetry = i in (left, right)
-        other = right if i == left else left
-        skip = jnp.logical_not(src_vis[i])
-        if not in_symmetry:
-            skip = skip | jnp.logical_not(dst_vis[i])
-            j = jnp.asarray(i)
-        else:
-            skip = skip | jnp.logical_not(dst_vis[left] | dst_vis[right])
-            j = jnp.where(dst_vis[i], i, other)
 
+    def warp_one(src_idx, dst_idx, extra_skip):
+        """One homography + one packed gather; returns (tex, slot one-hot weight)."""
         # refine=False: the plane correspondences are projections of the same 3D
         # points, so the normalized DLT is already (near-)exact; skipping the
         # Gauss-Newton polish removes 50 jacfwd subgraphs from the scene program
         # (the remote XLA compile was the bottleneck, not the solve quality).
-        h12, valid = find_homography(src_polys[i], dst_polys[j], refine=False)
+        h12, valid = find_homography(src_polys[src_idx], dst_polys[dst_idx], refine=False)
         h_inv = jnp.linalg.inv(h12)
         denom = h_inv[2, 0] * px + h_inv[2, 1] * py + h_inv[2, 2] * ones
         denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
@@ -274,17 +266,35 @@ def warp_planes_to_crop(
         tx = (sx - src_window.x_start + 0.5) * (table / src_window.w) - 0.5
         ty = (sy - src_window.y_start + 0.5) * (table / src_window.h) - 0.5
         tex = bilinear_sample_packed(src_packed, tx, ty)
-        mask = inside_poly(sx, sy, src_polys[i])
-        ok = valid & jnp.logical_not(skip)
+        mask = inside_poly(sx, sy, src_polys[src_idx])
         black = LAB_BLACK_SIGNED.astype(src_packed.dtype)
         tex = jnp.where(mask[..., None], tex, black)
-
-        # Write into destination slot j with the reference's sequential-overwrite
-        # semantics (planes_utils.py:79: planes_warped[j] = src_warped).
+        ok = valid & jnp.logical_not(extra_skip)
         write = (
-            jax.nn.one_hot(j, vis.NUM_TEXTURE_PLANES, dtype=src_packed.dtype)
+            jax.nn.one_hot(dst_idx, vis.NUM_TEXTURE_PLANES, dtype=src_packed.dtype)
             * ok.astype(src_packed.dtype)
         )[:, None, None, None]
+        return tex, write
+
+    # The left/right side planes are opposite faces — a physical camera never sees
+    # both, so they share ONE gather (20% of the warp's gather cost): the source
+    # side is whichever is src-visible, the destination slot whichever is
+    # dst-visible (the reference's symmetry substitution, planes_utils.py:46-68,
+    # produces the same single write for every physically realizable visibility
+    # combination).
+    side_src = jnp.where(src_vis[left], left, right)
+    side_dst = jnp.where(dst_vis[left], left, right)
+    side_skip = jnp.logical_not(
+        (src_vis[left] | src_vis[right]) & (dst_vis[left] | dst_vis[right])
+    )
+    tex, write = warp_one(side_src, side_dst, side_skip)
+    out = out * (1.0 - write) + tex[None] * write
+
+    for i in range(vis.NUM_TEXTURE_PLANES):
+        if i in (left, right):
+            continue
+        skip = jnp.logical_not(src_vis[i]) | jnp.logical_not(dst_vis[i])
+        tex, write = warp_one(jnp.asarray(i), jnp.asarray(i), skip)
         out = out * (1.0 - write) + tex[None] * write
     return out
 
