@@ -1,0 +1,118 @@
+"""Focused semantics tests for the pipeline's fused plane warp.
+
+warp_planes_to_crop merges the left/right side planes into ONE gather (they are
+opposite faces of the vehicle — the painter's-algorithm visibility never marks
+both visible at once). These tests exercise every *realizable* visibility
+combination: at most one side visible per pose.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from future_urban_scene_generation_tpu.ops import crop as cr
+from future_urban_scene_generation_tpu.ops.warp import pack_bilinear_table
+from future_urban_scene_generation_tpu.pipeline import stages
+
+rng = np.random.RandomState(70)
+
+LEFT, RIGHT = 0, 1
+
+
+def _setup():
+    frame = jnp.asarray(rng.rand(400, 400, 3).astype(np.float32))
+    win = cr.Window(jnp.float32(50), jnp.float32(50), jnp.float32(300), jnp.float32(300))
+    table = pack_bilinear_table(
+        stages._to_signed_lab(cr.crop_resize(frame, win, stages.SRC_TABLE))
+    )
+    # 5 plane polygons spread inside the window.
+    polys = jnp.asarray(rng.rand(5, 6, 2).astype(np.float32) * 250 + 70)
+    return table, win, polys
+
+
+def _nonblack(plane):
+    black = np.asarray(stages.LAB_BLACK_SIGNED)
+    return np.abs(np.asarray(plane) - black).sum(-1) > 0.05
+
+
+def _vis(left, right, rest=True):
+    return jnp.asarray([left, right, rest, rest, rest])
+
+
+def _warp(table, win, polys, src_vis, dst_vis):
+    return stages.warp_planes_to_crop(table, win, polys, polys, src_vis, dst_vis, win)
+
+
+def test_same_side_visible_fills_that_slot():
+    table, win, polys = _setup()
+    out = _warp(table, win, polys, _vis(True, False), _vis(True, False))
+    assert out.shape == (5, 256, 256, 3)
+    assert _nonblack(out[LEFT]).sum() > 100
+    assert _nonblack(out[RIGHT]).sum() == 0
+    for p in range(2, 5):
+        assert _nonblack(out[p]).sum() > 100, p
+
+
+def test_symmetry_substitution_left_to_right():
+    table, win, polys = _setup()
+    # src sees LEFT, dst sees RIGHT -> left texture lands in the RIGHT slot.
+    out = _warp(table, win, polys, _vis(True, False), _vis(False, True))
+    assert _nonblack(out[RIGHT]).sum() > 100
+    assert _nonblack(out[LEFT]).sum() == 0
+
+
+def test_symmetry_substitution_right_to_left():
+    table, win, polys = _setup()
+    out = _warp(table, win, polys, _vis(False, True), _vis(True, False))
+    assert _nonblack(out[LEFT]).sum() > 100
+    assert _nonblack(out[RIGHT]).sum() == 0
+
+
+def test_sides_invisible_in_src_everywhere_black():
+    table, win, polys = _setup()
+    out = _warp(table, win, polys, _vis(False, False), _vis(True, False))
+    assert _nonblack(out[LEFT]).sum() == 0
+    assert _nonblack(out[RIGHT]).sum() == 0
+    assert _nonblack(out[2]).sum() > 100  # roof unaffected
+
+
+def test_sides_invisible_in_dst_everywhere_black():
+    table, win, polys = _setup()
+    out = _warp(table, win, polys, _vis(True, False), _vis(False, False))
+    assert _nonblack(out[LEFT]).sum() == 0
+    assert _nonblack(out[RIGHT]).sum() == 0
+
+
+def test_nonsymmetry_planes_require_both_sides():
+    table, win, polys = _setup()
+    # Roof (2) invisible in dst -> roof slot black even though src-visible.
+    src_vis = jnp.asarray([True, False, True, True, True])
+    dst_vis = jnp.asarray([True, False, False, True, True])
+    out = _warp(table, win, polys, src_vis, dst_vis)
+    assert _nonblack(out[2]).sum() == 0
+    assert _nonblack(out[3]).sum() > 100
+
+
+def test_masked_region_is_lab_black():
+    table, win, polys = _setup()
+    out = _warp(table, win, polys, _vis(True, False), _vis(True, False))
+    # Outside-polygon pixels carry exactly the signed-LAB black constant.
+    outside = ~_nonblack(out[2])
+    vals = np.asarray(out[2])[outside]
+    assert np.allclose(vals, np.asarray(stages.LAB_BLACK_SIGNED), atol=1e-2)
+
+
+def test_identity_warp_reproduces_source_texture():
+    """src == dst polygons -> identity homography -> the warped plane must equal
+    the source table resampled at the dst grid (pure gather, no distortion)."""
+    from future_urban_scene_generation_tpu.ops.warp import bilinear_sample_packed
+
+    table, win, polys = _setup()
+    out = _warp(table, win, polys, _vis(True, False), _vis(True, False))
+    s = 256
+    tdim = stages.SRC_TABLE
+    qs = (np.arange(s, dtype=np.float32) + 0.5) / s
+    tx = jnp.asarray(np.broadcast_to(qs[None, :] * tdim - 0.5, (s, s)))
+    ty = jnp.asarray(np.broadcast_to(qs[:, None] * tdim - 0.5, (s, s)))
+    direct = np.asarray(bilinear_sample_packed(table, tx, ty))
+    got = np.asarray(out[2])
+    inside = _nonblack(out[2])
+    np.testing.assert_allclose(got[inside], direct[inside], atol=1e-3)
