@@ -26,6 +26,7 @@ from flax import linen as nn
 
 from future_urban_scene_generation_tpu.models.layers import (
     SNConv,
+    SNConvTranspose,
     TorchConv,
     TorchConvTranspose,
     activation,
@@ -45,47 +46,59 @@ class ECResnetBlock(nn.Module):
     dim: int
     dilation: int = 2
     conv_bias: bool = True
+    spectral: bool = False
 
     @nn.compact
     def __call__(self, x):
+        conv = SNConv if self.spectral else TorchConv
         relu = activation("relu")
         out = reflect_pad(x, self.dilation)
-        out = TorchConv(
+        out = conv(
             self.dim, 3, dilation=self.dilation, use_bias=self.conv_bias,
             name="conv_block_1",
         )(out)
         out = relu(instance_norm(out))
         out = reflect_pad(out, 1)
-        out = TorchConv(self.dim, 3, use_bias=self.conv_bias, name="conv_block_5")(out)
+        out = conv(self.dim, 3, use_bias=self.conv_bias, name="conv_block_5")(out)
         out = instance_norm(out)
         return x + out
 
 
-def _generator_trunk(x, out_features: int, residual_blocks: int, resblock_bias: bool):
+def _generator_trunk(
+    x, out_features: int, residual_blocks: int, resblock_bias: bool,
+    spectral: bool = False,
+):
     """Shared encoder/middle/decoder trunk. Called inside a generator's compact
     context so its layers register directly on the generator (torch has no extra
     nesting level: keys are encoder.1.weight, middle.0..., decoder.0...).
 
     Encoder/decoder convs always keep bias (torch passes no bias= there); only the
-    resblocks differ between the two generators (bias = not use_spectral_norm)."""
+    resblocks differ between the two generators (bias = not use_spectral_norm).
+    ``spectral=True`` (training-mode edge generator — torch spectral_norms EVERY
+    conv/convT in it, networks.py:213-217) swaps in power-iteration SN layers;
+    inference from converted checkpoints keeps plain convs with folded weights."""
+    conv = SNConv if spectral else TorchConv
+    convt = SNConvTranspose if spectral else TorchConvTranspose
     relu = activation("relu")
     x = reflect_pad(x, 3)
-    x = TorchConv(64, 7, name="encoder_1")(x)
+    x = conv(64, 7, name="encoder_1")(x)
     x = relu(instance_norm(x))
-    x = TorchConv(128, 4, 2, 1, name="encoder_4")(x)
+    x = conv(128, 4, 2, 1, name="encoder_4")(x)
     x = relu(instance_norm(x))
-    x = TorchConv(256, 4, 2, 1, name="encoder_7")(x)
+    x = conv(256, 4, 2, 1, name="encoder_7")(x)
     x = relu(instance_norm(x))
 
     for i in range(residual_blocks):
-        x = ECResnetBlock(256, conv_bias=resblock_bias, name=f"middle_{i}")(x)
+        x = ECResnetBlock(
+            256, conv_bias=resblock_bias, spectral=spectral, name=f"middle_{i}"
+        )(x)
 
-    x = TorchConvTranspose(128, 4, 2, 1, name="decoder_0")(x)
+    x = convt(128, 4, 2, 1, name="decoder_0")(x)
     x = relu(instance_norm(x))
-    x = TorchConvTranspose(64, 4, 2, 1, name="decoder_3")(x)
+    x = convt(64, 4, 2, 1, name="decoder_3")(x)
     x = relu(instance_norm(x))
     x = reflect_pad(x, 3)
-    return TorchConv(out_features, 7, name="decoder_7")(x)
+    return conv(out_features, 7, name="decoder_7")(x)
 
 
 class EdgeGenerator(nn.Module):
@@ -93,10 +106,13 @@ class EdgeGenerator(nn.Module):
     resblocks are bias-free (bias = not use_spectral_norm)."""
 
     residual_blocks: int = 8
+    spectral: bool = False
 
     @nn.compact
     def __call__(self, x):
-        out = _generator_trunk(x, 1, self.residual_blocks, resblock_bias=False)
+        out = _generator_trunk(
+            x, 1, self.residual_blocks, resblock_bias=False, spectral=self.spectral
+        )
         return activation("sigmoid")(out)
 
 
@@ -135,13 +151,16 @@ class ECDiscriminator(nn.Module):
         return out, [c1, c2, c3, c4, c5]
 
 
-def edge_model_forward(params, images_gray, edges, masks, generator=None):
+def edge_model_forward(params, images_gray, edges, masks, generator=None, mutable=False):
     """EdgeModel.forward (edgeconnect/models.py:130-135): mask the inputs, concat,
-    generate. All tensors NHWC in [0, 1]; mask 1 = hole."""
+    generate. All tensors NHWC in [0, 1]; mask 1 = hole. ``mutable`` forwards to
+    apply (used by the trainer to advance the generator's SN power iteration)."""
     generator = generator or EdgeGenerator()
     edges_masked = edges * (1.0 - masks)
     images_masked = images_gray * (1.0 - masks) + masks
     inputs = jnp.concatenate([images_masked, edges_masked, masks], axis=-1)
+    if mutable:
+        return generator.apply(params, inputs, mutable=mutable)
     return generator.apply(params, inputs)
 
 

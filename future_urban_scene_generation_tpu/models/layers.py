@@ -172,6 +172,7 @@ class SNConv(nn.Module):
     kernel_size: int
     stride: int = 1
     padding: int = 0
+    dilation: int = 1
     use_bias: bool = True
 
     @nn.compact
@@ -203,6 +204,65 @@ class SNConv(nn.Module):
             w,
             window_strides=(self.stride, self.stride),
             padding=((self.padding, self.padding), (self.padding, self.padding)),
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros, (self.features,))
+        return out
+
+
+class SNConvTranspose(nn.Module):
+    """Spectral-normalized transposed conv with torch semantics (training mode).
+
+    torch wraps ConvTranspose2d with spectral_norm(dim=1) — dim 1 is the
+    out-channel axis of torch's (in, out, kh, kw) layout, so
+    W_mat = W.permute(1, 0, 2, 3).reshape(out, -1). Our kernel is stored
+    (kh, kw, in, out) (see TorchConvTranspose); the equivalent flatten is
+    transpose(3, 2, 0, 1) — the same convention models/convert.py's
+    fold_spectral_norm uses when folding reference checkpoints. Iteration state
+    lives in the 'spectral' collection like SNConv.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.normal(0.02), (k, k, in_ch, self.features)
+        )
+        w_mat = kernel.transpose(3, 2, 0, 1).reshape(self.features, -1)
+        u_var = self.variable(
+            "spectral",
+            "u",
+            lambda: _l2_normalize(
+                jax.random.normal(self.make_rng("params"), (self.features,))
+            ),
+        )
+        u = jax.lax.stop_gradient(u_var.value)
+        v = _l2_normalize(w_mat.T @ u)
+        u_new = _l2_normalize(w_mat @ v)
+        u_new = jax.lax.stop_gradient(u_new)
+        v = jax.lax.stop_gradient(v)
+        sigma = u_new @ (w_mat @ v)
+        if not self.is_initializing() and self.is_mutable_collection("spectral"):
+            u_var.value = u_new
+        w = jnp.flip(kernel / sigma, axis=(0, 1))
+        lo = k - 1 - self.padding
+        hi = k - 1 - self.padding + self.output_padding
+        out = jax.lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(1, 1),
+            padding=((lo, hi), (lo, hi)),
+            lhs_dilation=(self.stride, self.stride),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:

@@ -36,6 +36,9 @@ class GANTrainState(NamedTuple):
     # Power-iteration state for spectral-normalized discriminators ('spectral'
     # collection); None for non-SN trainers.
     dis_state: Any = None
+    # Same for SN generators (only the EdgeConnect edge generator — torch
+    # spectral_norms its convs too, networks.py:213-217).
+    gen_state: Any = None
 
 
 def make_optimizers(lr: float = 1e-4, d2g_lr: float = 0.1, b1: float = 0.0, b2: float = 0.9):
@@ -273,7 +276,7 @@ class EdgeModelTrainer:
     """EdgeModel.process parity (edgeconnect/models.py:87-128): nsgan + 10x FM loss."""
 
     def __init__(self, fm_weight: float = 10.0, lr: float = 1e-4, gan_kind: str = "nsgan"):
-        self.gen = ec.EdgeGenerator()
+        self.gen = ec.EdgeGenerator(spectral=True)
         self.dis = ec.ECDiscriminator(
             in_channels=2, use_sigmoid=gan_kind != "hinge", spectral=True
         )
@@ -284,7 +287,8 @@ class EdgeModelTrainer:
     def init(self, key, hw=(256, 256)) -> GANTrainState:
         kg, kd = jax.random.split(key)
         h, w = hw
-        gen_params = self.gen.init(kg, jnp.zeros((1, h, w, 3)))
+        gen_vars = self.gen.init(kg, jnp.zeros((1, h, w, 3)))
+        gen_params = {"params": gen_vars["params"]}
         dis_vars = self.dis.init(kd, jnp.zeros((1, h, w, 2)))
         dis_params = {"params": dis_vars["params"]}
         return GANTrainState(
@@ -292,6 +296,7 @@ class EdgeModelTrainer:
             self.gen_tx.init(gen_params), self.dis_tx.init(dis_params),
             jnp.int32(0),
             dis_state=dis_vars["spectral"],
+            gen_state=gen_vars["spectral"],
         )
 
     def _dis_apply(self, dis_params, spectral, x, mutable=False):
@@ -300,9 +305,19 @@ class EdgeModelTrainer:
             return self.dis.apply(variables, x, mutable=["spectral"])
         return self.dis.apply(variables, x), None
 
+    def _gen_apply(self, gen_params, spectral, images_gray, edges, masks, mutable=False):
+        variables = {"params": gen_params["params"], "spectral": spectral}
+        out = ec.edge_model_forward(
+            variables, images_gray, edges, masks, generator=self.gen,
+            mutable=["spectral"] if mutable else False,
+        )
+        return out if mutable else (out, None)
+
     def train_step(self, state, images_gray, edges, masks):
-        outputs = ec.edge_model_forward(state.gen_params, images_gray, edges, masks,
-                                        generator=self.gen)
+        gen_sp = state.gen_state
+        outputs, _ = self._gen_apply(
+            state.gen_params, gen_sp, images_gray, edges, masks
+        )
         real_in = jnp.concatenate([images_gray, edges], axis=-1)
         spectral = state.dis_state
 
@@ -322,8 +337,7 @@ class EdgeModelTrainer:
         dis_params = optax.apply_updates(state.dis_params, dis_updates)
 
         def gen_loss_fn(gen_params):
-            out_g = ec.edge_model_forward(gen_params, images_gray, edges, masks,
-                                          generator=self.gen)
+            out_g, _ = self._gen_apply(gen_params, gen_sp, images_gray, edges, masks)
             fake_in = jnp.concatenate([images_gray, out_g], axis=-1)
             (d_fake, fake_feat), _ = self._dis_apply(dis_params, spectral, fake_in)
             (_, real_feat), _ = self._dis_apply(dis_params, spectral, real_in)
@@ -340,13 +354,17 @@ class EdgeModelTrainer:
         gen_updates, gen_opt_state = self.gen_tx.update(gen_grads, state.gen_opt_state)
         gen_params = optax.apply_updates(state.gen_params, gen_updates)
 
-        # Advance the power iteration once per step (torch advances per D forward;
+        # Advance the power iterations once per step (torch advances per forward;
         # both converge to the same dominant singular pair — PARITY.md §12).
         _, new_sp = self._dis_apply(dis_params, spectral, real_in, mutable=True)
+        _, new_gen_sp = self._gen_apply(
+            gen_params, gen_sp, images_gray, edges, masks, mutable=True
+        )
 
         new_state = GANTrainState(
             gen_params, dis_params, gen_opt_state, dis_opt_state, state.iteration + 1,
             dis_state=new_sp["spectral"],
+            gen_state=new_gen_sp["spectral"],
         )
         return new_state, {"l_d1": dis_loss, "l_g1": adv, "l_fm": fm}
 
