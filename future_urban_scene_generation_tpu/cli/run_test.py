@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--video_fps", type=int, default=10)
     p.add_argument("--inpaint", action="store_true")
     p.add_argument("--inpaint_model", type=int, choices=[1, 2, 3, 4], default=4)
+    p.add_argument("--segmenter", choices=["background", "maskrcnn"],
+                   default="background",
+                   help="inpaint-branch vehicle segmenter; maskrcnn loads "
+                        "checkpoints_dir/maskrcnn/maskrcnn.pth")
     p.add_argument("--reso", type=int, default=256)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--blocks", type=int, default=1)
@@ -67,6 +71,7 @@ def main(argv=None):
         video_fps=args.video_fps,
         inpaint=args.inpaint,
         inpaint_model=args.inpaint_model,
+        segmenter=args.segmenter,
         reso=args.reso,
         batch=args.batch,
         blocks=args.blocks,

@@ -97,6 +97,10 @@ class PipelineConfig:
     blocks: int = 1
     stacks: int = 2
     device: str = "tpu"
+    # Inpaint-branch vehicle segmenter: "background" (BackgroundDiffSegmenter) or
+    # "maskrcnn" (native models/maskrcnn.py, loaded from
+    # checkpoints_dir/maskrcnn/maskrcnn.pth with an optional config.yml sidecar).
+    segmenter: str = "background"
     # Headless mode (replaces the mandatory GUI): vehicle ids + frame to synthesize.
     select_ids: List[int] = field(default_factory=list)
     frame_id: int = 1

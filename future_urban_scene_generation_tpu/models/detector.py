@@ -11,7 +11,10 @@ stage (SURVEY §7 hard part #1) with three implementations:
 * ``BackgroundDiffSegmenter`` — |frame - background| thresholding for static-camera
   scenes (CityFlow cameras are static);
 * ``HostDetectorSegmenter`` — adapter for any host callback (e.g. a torch Mask R-CNN
-  on CPU) returning a binary mask, for strict reference parity.
+  on CPU) returning a binary mask;
+* ``MaskRCNNSegmenter`` — strict reference parity: the TPU-native Mask R-CNN
+  (models/maskrcnn.py, static shapes end-to-end) run on the frame, keeping the
+  best-scoring vehicle-class detection that overlaps the query bbox.
 
 All produce fixed-shape (H, W) bool masks; device implementations are jittable.
 """
@@ -79,3 +82,56 @@ class HostDetectorSegmenter:
     def __call__(self, frame, bbox_xyxy, **_):
         mask = self.detect_fn(np.asarray(frame), np.asarray(bbox_xyxy))
         return jnp.asarray(mask.astype(bool))
+
+
+class MaskRCNNSegmenter:
+    """The reference's detector, TPU-native (models/maskrcnn.py).
+
+    Runs jitted single-image Mask R-CNN, picks the highest-scoring detection of an
+    allowed class (COCO: 3=car, 6=bus, 8=truck — run_test.py keeps car/truck) whose
+    box IoU with the query bbox exceeds ``min_iou``, and pastes its 28x28 mask into
+    frame coordinates. Returns an all-false mask when nothing qualifies.
+
+    The frame is resized to a fixed ``input_hw`` (multiples of 64) before the
+    network — the static-shape analogue of GeneralizedRCNNTransform's min/max-size
+    resize; boxes/masks map back through the inverse scale.
+    """
+
+    def __init__(self, params, model=None, classes=(3, 6, 8), min_iou: float = 0.3,
+                 input_hw=(512, 1024), mask_threshold: float = 0.5):
+        from future_urban_scene_generation_tpu.models.maskrcnn import MaskRCNN
+
+        self.params = params
+        self.model = model or MaskRCNN()
+        self.classes = tuple(classes)
+        self.min_iou = min_iou
+        self.input_hw = tuple(input_hw)
+        self.mask_threshold = mask_threshold
+
+    def __call__(self, frame, bbox_xyxy, **_):
+        import jax
+
+        from future_urban_scene_generation_tpu.models.maskrcnn import (
+            maskrcnn_infer, paste_mask,
+        )
+        from future_urban_scene_generation_tpu.ops.detection import batched_iou
+        from future_urban_scene_generation_tpu.ops.resize import resize_bilinear
+
+        h, w = frame.shape[0], frame.shape[1]
+        ih, iw = self.input_hw
+        net_in = resize_bilinear(frame, (ih, iw))
+        det = maskrcnn_infer(self.params, net_in, model=self.model)
+
+        scale = jnp.asarray([w / iw, h / ih, w / iw, h / ih], jnp.float32)
+        boxes = det.boxes * scale
+        cls_ok = jnp.zeros_like(det.valid)
+        for c in self.classes:
+            cls_ok = cls_ok | (det.labels == c)
+        iou = batched_iou(boxes, bbox_xyxy[None])[:, 0]
+        score = jnp.where(
+            det.valid & cls_ok & (iou >= self.min_iou), det.scores, -1.0
+        )
+        best = jnp.argmax(score)
+        mask = paste_mask(det.masks[best], boxes[best], h, w)
+        hit = score[best] > 0
+        return (mask >= self.mask_threshold) & hit

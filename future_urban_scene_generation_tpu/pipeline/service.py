@@ -21,8 +21,12 @@ from future_urban_scene_generation_tpu.utils.bbox import BoundingBox
 
 
 class SceneService:
-    def __init__(self, cfg: PipelineConfig):
+    def __init__(self, cfg: PipelineConfig, segmenter=None):
         self.cfg = cfg
+        # Pluggable vehicle segmenter for the inpaint branch (models/detector.py);
+        # None -> BackgroundDiffSegmenter against the static background, or pass
+        # e.g. MaskRCNNSegmenter(params) for strict reference parity.
+        self.segmenter = segmenter
 
         self.trajectories = video_io.parse_tracking_file(
             cfg.video_dir, cfg.track_mode, cfg.det_mode
@@ -42,6 +46,50 @@ class SceneService:
 
         self._load_assets()
         self._load_models()
+        self._build_segmenter()
+
+    def _build_segmenter(self):
+        """Resolve cfg.segmenter when no instance was injected.
+
+        "maskrcnn": load checkpoints_dir/maskrcnn/maskrcnn.pth (torchvision
+        maskrcnn_resnet50_fpn state dict, converted) with an optional config.yml
+        sidecar overriding {num_classes, layers, width, out_channels,
+        representation_size, input_hw, classes, min_iou} — e.g. a CityFlow
+        fine-tune with fewer classes. "background" (default) resolves lazily in
+        _backgrounds against the static background.
+        """
+        if self.segmenter is not None or self.cfg.segmenter != "maskrcnn":
+            return
+        import torch
+        import yaml
+
+        from future_urban_scene_generation_tpu.models.detector import MaskRCNNSegmenter
+        from future_urban_scene_generation_tpu.models.maskrcnn import (
+            MaskRCNN,
+            convert_maskrcnn,
+        )
+
+        d = Path(self.cfg.checkpoints_dir) / "maskrcnn"
+        sd = torch.load(d / "maskrcnn.pth", map_location="cpu", weights_only=True)
+        if isinstance(sd, dict) and "model" in sd:
+            sd = sd["model"]
+        cfg = {}
+        if (d / "config.yml").exists():
+            cfg = yaml.safe_load((d / "config.yml").read_text()) or {}
+        model = MaskRCNN(
+            num_classes=int(cfg.get("num_classes", 91)),
+            layers=tuple(cfg.get("layers", (3, 4, 6, 3))),
+            width=int(cfg.get("width", 64)),
+            out_channels=int(cfg.get("out_channels", 256)),
+            representation_size=int(cfg.get("representation_size", 1024)),
+        )
+        self.segmenter = MaskRCNNSegmenter(
+            convert_maskrcnn(sd),
+            model=model,
+            classes=tuple(cfg.get("classes", (3, 6, 8))),
+            min_iou=float(cfg.get("min_iou", 0.3)),
+            input_hw=tuple(cfg.get("input_hw", (512, 1024))),
+        )
 
     def _video_source(self):
         video_file = Path(self.cfg.video_dir) / "vdo.avi"
@@ -197,7 +245,7 @@ class SceneService:
             from future_urban_scene_generation_tpu.pipeline.inpaint import erase_vehicles
 
             static_bg = self._static_background()
-            segmenter = BackgroundDiffSegmenter(
+            segmenter = self.segmenter or BackgroundDiffSegmenter(
                 jnp.asarray(static_bg if static_bg is not None else frame)
             )
             steps = []

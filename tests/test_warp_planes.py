@@ -116,3 +116,22 @@ def test_identity_warp_reproduces_source_texture():
     got = np.asarray(out[2])
     inside = _nonblack(out[2])
     np.testing.assert_allclose(got[inside], direct[inside], atol=1e-3)
+
+
+def test_warp_bilinear_matmul_matches_gather_sampler():
+    from future_urban_scene_generation_tpu.ops.warp import (
+        _bilinear_sample,
+        warp_bilinear_matmul,
+    )
+
+    img = jnp.asarray(rng.rand(65, 65, 3).astype(np.float32))
+    # Inside, the partial-weight border ring, and far outside.
+    xs = jnp.asarray(rng.uniform(-3, 68, (48, 48)).astype(np.float32))
+    ys = jnp.asarray(rng.uniform(-3, 68, (48, 48)).astype(np.float32))
+    ref = _bilinear_sample(img, xs, ys)
+    got = warp_bilinear_matmul(img, xs, ys, chunk=512)
+    assert float(jnp.abs(got - ref).max()) < 1e-6  # exact (f32)
+    got1 = warp_bilinear_matmul(img, xs, ys, chunk=48 * 48)  # single-chunk path
+    assert float(jnp.abs(got1 - ref).max()) < 1e-6
+    got_bf = warp_bilinear_matmul(img, xs, ys, dtype=jnp.bfloat16, chunk=512)
+    assert float(jnp.abs(got_bf - ref).max()) < 2e-2
