@@ -35,6 +35,12 @@ def main():
     from future_urban_scene_generation_tpu.geometry.projection import (
         project_points_extrinsic,
     )
+    from future_urban_scene_generation_tpu.pipeline.stages import configure_models
+
+    # Production serving config: generators in bf16 (params f32, norms f32 — see
+    # MODEL_SPEC["generator_dtype"]). Quality pinned by tests/test_bf16_inference.py
+    # (>=35 dB PSNR vs f32); measured +9% scene throughput (37.9 -> 41.4 fps).
+    configure_models(generator_dtype="bfloat16")
     from future_urban_scene_generation_tpu.geometry.rotations import x_rot, z_rot
     from future_urban_scene_generation_tpu.ops import crop as cr
     from future_urban_scene_generation_tpu.pipeline import runner, stages
@@ -103,18 +109,25 @@ def main():
         ))(key),
     )
 
-    run = lambda: runner.synthesize_scene(  # noqa: E731
-        models, cad_bank, frame, background, perception, meters, jnp.asarray(K),
+    run = lambda f: runner.synthesize_scene(  # noqa: E731
+        models, cad_bank, f, background, perception, meters, jnp.asarray(K),
         vis_scale=0.25,
     )
-    result = run()
+    result = run(frame)
     jax.block_until_ready(result.frames_icn)  # compile + warm
 
+    # Fresh input per iteration + per-iteration blocking: the axon runtime can
+    # short-circuit repeated executions on identical input buffers, which made an
+    # unblocked same-input loop report impossible numbers (2130 "fps").
     iters = 5
+    frames = [
+        jnp.asarray(rng.rand(H, W, 3).astype(np.float32)) for _ in range(iters)
+    ]
+    jax.block_until_ready(frames)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        result = run()
-    jax.block_until_ready(result.frames_icn)
+    for f in frames:
+        result = run(f)
+        jax.block_until_ready(result.frames_icn)
     dt = (time.perf_counter() - t0) / iters
 
     frames_per_scene = 2 * T  # both generator branches composite T frames each

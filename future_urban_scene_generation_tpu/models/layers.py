@@ -86,7 +86,7 @@ class TorchConv(nn.Module):
         )
         out = jax.lax.conv_general_dilated(
             x,
-            kernel,
+            kernel.astype(x.dtype),  # mixed precision: compute in the input dtype
             window_strides=(self.stride, self.stride),
             padding=((self.padding, self.padding), (self.padding, self.padding)),
             rhs_dilation=(self.dilation, self.dilation),
@@ -94,7 +94,7 @@ class TorchConv(nn.Module):
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            out = out + bias
+            out = out + bias.astype(out.dtype)
         return out
 
 
@@ -109,9 +109,10 @@ class TorchLinear(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
         )
-        out = x @ kernel
+        out = x @ kernel.astype(x.dtype)
         if self.use_bias:
-            out = out + self.param("bias", nn.initializers.zeros, (self.features,))
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + bias.astype(out.dtype)
         return out
 
 
@@ -140,7 +141,7 @@ class TorchConvTranspose(nn.Module):
             nn.initializers.lecun_normal(),
             (k, k, in_ch, self.features),
         )
-        w = jnp.flip(kernel, axis=(0, 1))
+        w = jnp.flip(kernel, axis=(0, 1)).astype(x.dtype)
         lo = k - 1 - self.padding
         hi = k - 1 - self.padding + self.output_padding
         out = jax.lax.conv_general_dilated(
@@ -153,7 +154,7 @@ class TorchConvTranspose(nn.Module):
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            out = out + bias
+            out = out + bias.astype(out.dtype)
         return out
 
 
@@ -290,8 +291,10 @@ class WNConv(nn.Module):
         k = self.kernel_size
         v = self.param("v", nn.initializers.lecun_normal(), (k, k, in_ch, self.features))
         g = self.param("g", nn.initializers.ones, (self.features,))
+        # Normalization always in f32 (param dtype); only the effective weight is
+        # cast, so bf16 activations get full-precision weight norms.
         norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1, 2), keepdims=True) + 1e-24)
-        w = v / norm * g
+        w = (v / norm * g).astype(x.dtype)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         out = jax.lax.conv_general_dilated(
             x,
@@ -300,7 +303,7 @@ class WNConv(nn.Module):
             padding=((self.padding, self.padding), (self.padding, self.padding)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        return out + bias
+        return out + bias.astype(out.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -310,9 +313,10 @@ class WNConv(nn.Module):
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """torch nn.InstanceNorm2d(C) defaults: affine=False, biased variance, per-sample
     per-channel normalization over spatial dims."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 class WarpLearnLayerNorm(nn.Module):
@@ -325,13 +329,14 @@ class WarpLearnLayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         n = x[0].size
-        mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
-        var = jnp.var(x, axis=(1, 2, 3), keepdims=True) * (n / max(n - 1, 1))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
+        var = jnp.var(x32, axis=(1, 2, 3), keepdims=True) * (n / max(n - 1, 1))
         std = jnp.sqrt(var)
-        x = (x - mean) / (std + self.eps)
+        xn = ((x32 - mean) / (std + self.eps)).astype(x.dtype)
         gamma = self.param("gamma", nn.initializers.uniform(scale=1.0), (self.features,))
         beta = self.param("beta", nn.initializers.zeros, (self.features,))
-        return x * gamma + beta
+        return xn * gamma.astype(x.dtype) + beta.astype(x.dtype)
 
 
 class TorchBatchNorm(nn.Module):

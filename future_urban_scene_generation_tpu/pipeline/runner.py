@@ -80,12 +80,14 @@ def synthesize_scene(
         background = jnp.broadcast_to(background, (n_steps,) + background.shape)
 
     # --- Stage 2: pose (batched over V) -------------------------------------------
-    err, rvec, tvec = solve_poses(perception, cad_bank, intrinsic)
-    extrinsics = jax.vmap(extrinsic_from_rodrigues)(rvec, tvec)
+    with jax.named_scope("fusg.pnp"):
+        err, rvec, tvec = solve_poses(perception, cad_bank, intrinsic)
+        extrinsics = jax.vmap(extrinsic_from_rodrigues)(rvec, tvec)
 
     # --- Stage 3: rollout (batched over V) -----------------------------------------
-    kp3d_all = cad_bank.keypoints3d[perception.cad_idx]  # (V, 12, 3)
-    theta, translation = jax.vmap(pose_rollout)(meter_coords, kp3d_all)  # (V, S+1[, 3])
+    with jax.named_scope("fusg.rollout"):
+        kp3d_all = cad_bank.keypoints3d[perception.cad_idx]  # (V, 12, 3)
+        theta, translation = jax.vmap(pose_rollout)(meter_coords, kp3d_all)  # (V, S+1[, 3])
 
     # --- Stage 4+5: render / warp / synthesize (batched over V x S+1) --------------
     def per_vehicle(cad_idx, bbox_window_fields, ext, kp3d, theta_v, tr_v):
@@ -95,15 +97,17 @@ def synthesize_scene(
         bbox_window = stages.cr.Window(*bbox_window_fields)
 
         def per_step(theta_s, tr_s):
-            sketch, veh_mask, window = render_vehicle(
-                verts, tris, normals, ext, intrinsic, theta_s, tr_s
-            )
-            kp3d_s = kp3d @ z_rot(theta_s) + tr_s
-            kp2d_s = project_points_extrinsic(kp3d_s, intrinsic, ext)
-            visibility = vis.compute_visibility(
-                ext, kp2d_s * vis_scale, kp3d_s, vis_hw
-            )
-            polys = jnp.trunc(kp2d_s)[jnp.asarray(vis.TEXTURE_PLANES)]
+            with jax.named_scope("fusg.render"):
+                sketch, veh_mask, window = render_vehicle(
+                    verts, tris, normals, ext, intrinsic, theta_s, tr_s
+                )
+            with jax.named_scope("fusg.visibility"):
+                kp3d_s = kp3d @ z_rot(theta_s) + tr_s
+                kp2d_s = project_points_extrinsic(kp3d_s, intrinsic, ext)
+                visibility = vis.compute_visibility(
+                    ext, kp2d_s * vis_scale, kp3d_s, vis_hw
+                )
+                polys = jnp.trunc(kp2d_s)[jnp.asarray(vis.TEXTURE_PLANES)]
             return sketch, veh_mask, window, visibility[:5], polys
 
         sketches, veh_masks, windows, visibilities, polys = jax.vmap(per_step)(
@@ -130,10 +134,11 @@ def synthesize_scene(
 
         def per_step_synth(sketch_s, window_fields_s, vis_s, polys_s):
             window_s = stages.cr.Window(*window_fields_s)
-            planes_warped = warp_planes_to_crop(
-                src_packed, src_window, polys[0], polys_s, visibilities[0], vis_s,
-                window_s,
-            )
+            with jax.named_scope("fusg.plane_warp"):
+                planes_warped = warp_planes_to_crop(
+                    src_packed, src_window, polys[0], polys_s, visibilities[0], vis_s,
+                    window_s,
+                )
             icn_rgb = icn_synthesize(models, sketch_s, central_lab, planes_warped)
             vunet_rgb = vunet_synthesize(models, sketch_s, mu_app)
             return icn_rgb, vunet_rgb

@@ -68,6 +68,12 @@ MODEL_SPEC = {
     "num_cads": 10,
     "icn_input_nc": 21,
     "vunet_256": True,
+    # Generator (ICN + VUNet) activation dtype: "float32" | "bfloat16". bf16 runs
+    # the conv stacks at full MXU rate; params stay f32 and every normalization
+    # statistic is computed in f32 (models/layers.py), so the only quantization is
+    # the conv I/O — measured ~40 dB PSNR vs f32 on the generators
+    # (tests/test_bf16_inference.py). Perception (hourglass/VGG) stays f32.
+    "generator_dtype": "float32",
 }
 
 
@@ -76,7 +82,16 @@ def configure_models(**kwargs):
     unknown = set(kwargs) - set(MODEL_SPEC)
     if unknown:
         raise ValueError(f"unknown model spec keys: {unknown}")
+    dtype = kwargs.get("generator_dtype")
+    if dtype is not None and dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"generator_dtype must be 'float32' or 'bfloat16', got {dtype!r}"
+        )
     MODEL_SPEC.update(kwargs)
+
+
+def _generator_dtype():
+    return jnp.bfloat16 if MODEL_SPEC["generator_dtype"] == "bfloat16" else jnp.float32
 
 
 class Models(NamedTuple):
@@ -332,11 +347,14 @@ def icn_synthesize(
     ``planes_warped_lab`` arrives already in signed LAB (see warp_planes_to_crop).
     Returns RGB [0, 1] (256, 256, 3)."""
     _, _, icn_model, _ = Models.modules()
-    sketch_lab = _to_signed_lab(dst_sketch)
-    planes_cat = jnp.concatenate(list(planes_warped_lab), axis=-1)  # (S, S, 15)
-    inp = jnp.concatenate([sketch_lab, central_patch_lab, planes_cat], axis=-1)
-    out = icn_model.apply(models.icn_params, inp[None])[0]  # [-1, 1] LAB
-    return cs.lab_to_rgb((out + 1.0) / 2.0)
+    with jax.named_scope("fusg.icn"):
+        sketch_lab = _to_signed_lab(dst_sketch)
+        planes_cat = jnp.concatenate(list(planes_warped_lab), axis=-1)  # (S, S, 15)
+        inp = jnp.concatenate([sketch_lab, central_patch_lab, planes_cat], axis=-1)
+        inp = inp.astype(_generator_dtype())
+        out = icn_model.apply(models.icn_params, inp[None])[0]  # [-1, 1] LAB
+        out = out.astype(jnp.float32)
+        return cs.lab_to_rgb((out + 1.0) / 2.0)
 
 
 def vunet_encode_appearance(models: Models, frame, src_sketch, src_mask, src_window):
@@ -345,22 +363,28 @@ def vunet_encode_appearance(models: Models, frame, src_sketch, src_mask, src_win
     x = [masked vehicle RGB (white background), src sketch], both [-1, 1].
     """
     _, _, _, vunet_model = Models.modules()
-    veh = cr.crop_resize(frame, src_window, CROP)
-    masked = jnp.where(src_mask[..., None], veh, 1.0)  # white background
-    x = jnp.concatenate([masked * 2.0 - 1.0, src_sketch * 2.0 - 1.0], axis=-1)
-    return vunet_model.apply(
-        models.vunet_params, x[None], cov=0.0, method=Vunet.encode_appearance
-    )
+    with jax.named_scope("fusg.vunet_encode"):
+        veh = cr.crop_resize(frame, src_window, CROP)
+        masked = jnp.where(src_mask[..., None], veh, 1.0)  # white background
+        x = jnp.concatenate([masked * 2.0 - 1.0, src_sketch * 2.0 - 1.0], axis=-1)
+        x = x.astype(_generator_dtype())
+        return vunet_model.apply(
+            models.vunet_params, x[None], cov=0.0, method=Vunet.encode_appearance
+        )
 
 
 def vunet_synthesize(models: Models, dst_sketch, mu_app):
     """Per-step VUNet decode (trajectory_inference.py:232-234, 424-426)."""
     _, _, _, vunet_model = Models.modules()
-    y_tilde = dst_sketch[None] * 2.0 - 1.0
-    out = vunet_model.apply(
-        models.vunet_params, y_tilde, mu_app, cov=0.0, method=Vunet.decode_shape
-    )[0]
-    return jnp.clip((out + 1.0) / 2.0, 0.0, 1.0)
+    with jax.named_scope("fusg.vunet_decode"):
+        dtype = _generator_dtype()
+        y_tilde = (dst_sketch[None] * 2.0 - 1.0).astype(dtype)
+        mu_app = jax.tree_util.tree_map(lambda a: a.astype(dtype), mu_app)
+        out = vunet_model.apply(
+            models.vunet_params, y_tilde, mu_app, cov=0.0, method=Vunet.decode_shape
+        )[0]
+        out = out.astype(jnp.float32)
+        return jnp.clip((out + 1.0) / 2.0, 0.0, 1.0)
 
 
 def composite_step(background, crops, windows, masks):
