@@ -38,9 +38,12 @@ def main():
     from future_urban_scene_generation_tpu.pipeline.stages import configure_models
 
     # Production serving config: generators in bf16 (params f32, norms f32 — see
-    # MODEL_SPEC["generator_dtype"]). Quality pinned by tests/test_bf16_inference.py
-    # (>=35 dB PSNR vs f32); measured +9% scene throughput (37.9 -> 41.4 fps).
-    configure_models(generator_dtype="bfloat16")
+    # MODEL_SPEC["generator_dtype"]; quality pinned by tests/test_bf16_inference.py
+    # at >=35 dB PSNR vs f32) and reduced-res plane warps (gather an 128^2 grid
+    # over each plane's dst bbox + one scale_and_translate paste — the extra
+    # bilinear resample mirrors the reference's own warp->crop->resize chain;
+    # semantics + quality pinned by tests/test_warp_planes.py).
+    configure_models(generator_dtype="bfloat16", warp_plane_res=128)
     from future_urban_scene_generation_tpu.geometry.rotations import x_rot, z_rot
     from future_urban_scene_generation_tpu.ops import crop as cr
     from future_urban_scene_generation_tpu.pipeline import runner, stages
@@ -114,21 +117,27 @@ def main():
         vis_scale=0.25,
     )
     result = run(frame)
-    jax.block_until_ready(result.frames_icn)  # compile + warm
+    # Warm the scene program AND the scalar-checksum readback program.
+    _ = float(jnp.sum(result.frames_icn[0, ::64, ::64, 0]))
 
-    # Fresh input per iteration + per-iteration blocking: the axon runtime can
-    # short-circuit repeated executions on identical input buffers, which made an
-    # unblocked same-input loop report impossible numbers (2130 "fps").
+    # Fresh input per iteration + a HOST READBACK of the output each iteration:
+    # on the axon runtime both an unblocked same-input loop (2130 "fps") and even
+    # a block_until_ready-per-iteration loop (3538 "fps") have reported impossible
+    # numbers; copying a slice of the result to host each iteration cannot lie.
     iters = 5
     frames = [
         jnp.asarray(rng.rand(H, W, 3).astype(np.float32)) for _ in range(iters)
     ]
     jax.block_until_ready(frames)
+    checksum = 0.0
     t0 = time.perf_counter()
     for f in frames:
         result = run(f)
-        jax.block_until_ready(result.frames_icn)
+        # One 4-byte host read of a device-computed scalar per iteration: forces
+        # the scene execution to complete without paying a bulk tunnel transfer.
+        checksum += float(jnp.sum(result.frames_icn[0, ::64, ::64, 0]))
     dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(checksum)
 
     frames_per_scene = 2 * T  # both generator branches composite T frames each
     fps = frames_per_scene / dt

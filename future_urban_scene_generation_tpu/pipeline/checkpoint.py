@@ -105,6 +105,15 @@ def load_reference_model_zoo(checkpoints_dir) -> Dict[str, Any]:
             edge_path, convt_keys=EDGECONNECT_CONVT_KEYS
         )
 
+    maskrcnn_path = root / "maskrcnn" / "maskrcnn.pth"
+    if maskrcnn_path.exists():
+        from future_urban_scene_generation_tpu.models.maskrcnn import convert_maskrcnn
+
+        sd = _torch_load(maskrcnn_path)
+        if isinstance(sd, dict) and "model" in sd:
+            sd = sd["model"]
+        zoo["maskrcnn"] = convert_maskrcnn(sd)
+
     inpaint_path = root / "inpainting" / "InpaintingModel_gen.pth"
     if inpaint_path.exists():
         zoo["inpaint"], zoo["inpaint_iteration"] = load_torch_checkpoint(

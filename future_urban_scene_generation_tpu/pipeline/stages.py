@@ -68,6 +68,12 @@ MODEL_SPEC = {
     "num_cads": 10,
     "icn_input_nc": 21,
     "vunet_256": True,
+    # Plane-warp sampling grid: SKETCH_RES (256, exact single-resample path) or a
+    # smaller r (e.g. 128): gather an r^2 grid over each plane's dst bbox and paste
+    # with scale_and_translate — ~2x faster warps (gathers are per-index latency
+    # bound); the extra bilinear resample mirrors the reference's own
+    # warp->crop->resize chain.
+    "warp_plane_res": 256,
     # Generator (ICN + VUNet) activation dtype: "float32" | "bfloat16". bf16 runs
     # the conv stacks at full MXU rate; params stay f32 and every normalization
     # statistic is computed in f32 (models/layers.py), so the only quantization is
@@ -246,7 +252,6 @@ def warp_planes_to_crop(
     py = dst_window.y_start + qs[:, None] * dst_window.h - 0.5
     px = jnp.broadcast_to(px, (s_res, s_res))
     py = jnp.broadcast_to(py, (s_res, s_res))
-    ones = jnp.ones_like(px)
 
     def inside_poly(pts_x, pts_y, poly):
         inside = jnp.zeros(pts_x.shape, bool)
@@ -261,9 +266,11 @@ def warp_planes_to_crop(
         return inside
 
     out = jnp.broadcast_to(
-        LAB_BLACK_SIGNED.astype(src_packed.dtype),
+        LAB_BLACK_SIGNED,
         (vis.NUM_TEXTURE_PLANES, s_res, s_res, src_packed.shape[-1] // 4),
     )
+
+    r = int(MODEL_SPEC["warp_plane_res"])
 
     def warp_one(src_idx, dst_idx, extra_skip):
         """One homography + one packed gather; returns (tex, slot one-hot weight)."""
@@ -273,21 +280,58 @@ def warp_planes_to_crop(
         # (the remote XLA compile was the bottleneck, not the solve quality).
         h12, valid = find_homography(src_polys[src_idx], dst_polys[dst_idx], refine=False)
         h_inv = jnp.linalg.inv(h12)
-        denom = h_inv[2, 0] * px + h_inv[2, 1] * py + h_inv[2, 2] * ones
-        denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-        sx = (h_inv[0, 0] * px + h_inv[0, 1] * py + h_inv[0, 2]) / denom
-        sy = (h_inv[1, 0] * px + h_inv[1, 1] * py + h_inv[1, 2]) / denom
-        # Frame coords -> src-table coords (inverse of the crop_resize map).
-        tx = (sx - src_window.x_start + 0.5) * (table / src_window.w) - 0.5
-        ty = (sy - src_window.y_start + 0.5) * (table / src_window.h) - 0.5
-        tex = bilinear_sample_packed(src_packed, tx, ty)
-        mask = inside_poly(sx, sy, src_polys[src_idx])
-        black = LAB_BLACK_SIGNED.astype(src_packed.dtype)
-        tex = jnp.where(mask[..., None], tex, black)
+
+        def sample(gx, gy):
+            denom = h_inv[2, 0] * gx + h_inv[2, 1] * gy + h_inv[2, 2]
+            denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+            sx = (h_inv[0, 0] * gx + h_inv[0, 1] * gy + h_inv[0, 2]) / denom
+            sy = (h_inv[1, 0] * gx + h_inv[1, 1] * gy + h_inv[1, 2]) / denom
+            # Frame coords -> src-table coords (inverse of the crop_resize map).
+            tx = (sx - src_window.x_start + 0.5) * (table / src_window.w) - 0.5
+            ty = (sy - src_window.y_start + 0.5) * (table / src_window.h) - 0.5
+            tex = bilinear_sample_packed(src_packed, tx, ty).astype(jnp.float32)
+            mask = inside_poly(sx, sy, src_polys[src_idx])
+            return jnp.where(mask[..., None], tex, LAB_BLACK_SIGNED)
+
+        if r == s_res:
+            tex = sample(px, py)
+        else:
+            # Reduced-resolution warp: the gather is HBM-latency bound (cost per
+            # INDEX), so sample an r^2 grid over the DST POLYGON'S BBOX only and
+            # paste it into the crop with one scale_and_translate (MXU). Planes
+            # cover a fraction of the crop, so the bbox grid often matches or
+            # exceeds the output's effective resolution; the extra bilinear
+            # resample mirrors the reference's own warp->crop->resize chain
+            # (PARITY.md §3). 128 vs exact-256 measured ~2x faster warps.
+            poly_d = dst_polys[dst_idx]
+            pad = 1.0
+            bx0 = jnp.min(poly_d[:, 0]) - pad
+            bx1 = jnp.max(poly_d[:, 0]) + pad
+            by0 = jnp.min(poly_d[:, 1]) - pad
+            by1 = jnp.max(poly_d[:, 1]) + pad
+            bw = jnp.maximum(bx1 - bx0, 1e-3)
+            bh = jnp.maximum(by1 - by0, 1e-3)
+            qs_r = (jnp.arange(r, dtype=jnp.float32) + 0.5) / r
+            gx = jnp.broadcast_to(bx0 + qs_r[None, :] * bw, (r, r))
+            gy = jnp.broadcast_to(by0 + qs_r[:, None] * bh, (r, r))
+            rel = sample(gx, gy) - LAB_BLACK_SIGNED  # masked pixels -> exactly 0
+            # Paste into crop coordinates: crop c = a*x + b per axis.
+            ax = s_res / dst_window.w
+            ay = s_res / dst_window.h
+            b_x = -ax * dst_window.x_start + 0.5 * ax - 0.5
+            b_y = -ay * dst_window.y_start + 0.5 * ay - 0.5
+            scale = jnp.stack([ay * bh / r, ax * bw / r])
+            translation = jnp.stack([ay * by0 + b_y, ax * bx0 + b_x])
+            pasted = jax.image.scale_and_translate(
+                rel, (s_res, s_res, rel.shape[-1]), (0, 1), scale, translation,
+                method="linear",
+            )
+            tex = pasted + LAB_BLACK_SIGNED  # zero-fill outside bbox -> black
+
         ok = valid & jnp.logical_not(extra_skip)
         write = (
-            jax.nn.one_hot(dst_idx, vis.NUM_TEXTURE_PLANES, dtype=src_packed.dtype)
-            * ok.astype(src_packed.dtype)
+            jax.nn.one_hot(dst_idx, vis.NUM_TEXTURE_PLANES, dtype=jnp.float32)
+            * ok.astype(jnp.float32)
         )[:, None, None, None]
         return tex, write
 

@@ -41,3 +41,20 @@ def test_load_reference_model_zoo_partial(tmp_path):
     zoo = ckpt.load_reference_model_zoo(tmp_path)
     assert set(zoo) == {"hourglass"}
     assert zoo["hourglass"]["params"]["conv1"]["kernel"].shape == (7, 7, 3, 64)
+
+
+def test_load_reference_model_zoo_maskrcnn(tmp_path):
+    (tmp_path / "maskrcnn").mkdir()
+    sd = {
+        "backbone.body.conv1.weight": torch.randn(8, 3, 7, 7),
+        "roi_heads.mask_predictor.conv5_mask.weight": torch.randn(8, 8, 2, 2),
+        "roi_heads.mask_predictor.conv5_mask.bias": torch.randn(8),
+    }
+    # torchvision checkpoints sometimes wrap the state dict under "model".
+    torch.save({"model": sd}, tmp_path / "maskrcnn" / "maskrcnn.pth")
+    zoo = ckpt.load_reference_model_zoo(tmp_path)
+    assert set(zoo) == {"maskrcnn"}
+    p = zoo["maskrcnn"]["params"]
+    assert p["backbone"]["body"]["conv1"]["kernel"].shape == (7, 7, 3, 8)
+    # conv5_mask converts with the ConvTranspose layout (kh, kw, in, out).
+    assert p["roi_heads"]["mask_predictor"]["conv5_mask"]["kernel"].shape == (2, 2, 8, 8)

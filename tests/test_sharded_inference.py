@@ -79,3 +79,72 @@ def test_sharded_render_matches_unsharded():
     img_sh, bg_sh = render(exts_sh)
     assert np.array_equal(np.asarray(bg_ref), np.asarray(bg_sh))
     assert np.abs(np.asarray(img_ref) - np.asarray(img_sh)).max() < 1e-5
+
+
+def test_sharded_scene_matches_unsharded():
+    """Full synthesize_scene with the vehicle axis sharded over 4 devices equals
+    the unsharded run (the multi-chip serving path, runner.synthesize_scene_sharded)."""
+    from future_urban_scene_generation_tpu.ops import crop as cr
+    from future_urban_scene_generation_tpu.pipeline import runner
+
+    V, T = 4, 2
+    h, w = 192, 256
+    k_small = np.array([[240.0, 0, w / 2], [0, 240.0, h / 2], [0, 0, 1]], np.float32)
+    mesh_obj, kp3d = mu.make_test_car(subdiv=1)
+    cad_bank = runner.build_cad_bank([mesh_obj], [kp3d], scale=5.0)
+
+    from future_urban_scene_generation_tpu.geometry.rotations import x_rot, z_rot
+
+    frame = jnp.asarray(rng.rand(h, w, 3).astype(np.float32))
+    background = jnp.asarray(rng.rand(h, w, 3).astype(np.float32))
+    kp2ds, bboxes = [], []
+    for v in range(V):
+        ext = np.eye(4, dtype=np.float32)
+        ext[:3, :3] = np.asarray(x_rot(jnp.float32(-1.2)) @ z_rot(jnp.float32(0.4 + 0.2 * v)))
+        ext[:3, 3] = [(-3 + 2 * v), 1.5, 20.0 + 2 * v]
+        kp2d = np.asarray(
+            proj.project_points_extrinsic(
+                cad_bank.keypoints3d[0], jnp.asarray(k_small), jnp.asarray(ext)
+            )
+        )
+        kp2ds.append(kp2d)
+        x0, y0 = kp2d.min(0)
+        x1, y1 = kp2d.max(0)
+        bboxes.append([x0 - 3, y0 - 3, x1 + 3, y1 + 3])
+    bboxes = jnp.asarray(np.float32(bboxes))
+    kp2ds = jnp.asarray(np.float32(np.stack(kp2ds)))
+    window = jax.vmap(cr.square_window_from_bbox)(bboxes)
+    crops = jax.vmap(lambda wd: cr.crop_resize(frame, wd, 256))(window)
+    perception = stages.Perception(
+        cad_idx=jnp.zeros(V, jnp.int32), kp_frame=kp2ds, window=window, crop=crops
+    )
+    t = np.linspace(0, 1.2, T)
+    meters = jnp.asarray(
+        np.float32(np.stack([np.stack([t, np.zeros_like(t)], -1)] * V))
+    )
+
+    key = jax.random.PRNGKey(0)
+    cadm, hgm, icnm, vunm = stages.Models.modules()
+    dummy = jnp.zeros((1, 256, 256, 3))
+    models = stages.Models(
+        cad_params=cadm.init(key, dummy),
+        hourglass_params=hgm.init(key, dummy),
+        icn_params=icnm.init(key, jnp.zeros((1, 256, 256, 21))),
+        vunet_params=vunm.init(
+            {"params": key}, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1, 256, 256, 6)),
+            cov=0.0,
+        ),
+    )
+
+    args = (models, cad_bank, frame, background, perception, meters, jnp.asarray(k_small))
+    ref = runner.synthesize_scene(*args, vis_scale=0.5)
+
+    device_mesh = pmesh.make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    sharded = runner.synthesize_scene_sharded(*args, mesh=device_mesh, vis_scale=0.5)
+
+    np.testing.assert_allclose(
+        np.asarray(ref.frames_icn), np.asarray(sharded.frames_icn), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.frames_vunet), np.asarray(sharded.frames_vunet), atol=2e-3
+    )

@@ -135,3 +135,56 @@ def test_warp_bilinear_matmul_matches_gather_sampler():
     assert float(jnp.abs(got1 - ref).max()) < 1e-6
     got_bf = warp_bilinear_matmul(img, xs, ys, dtype=jnp.bfloat16, chunk=512)
     assert float(jnp.abs(got_bf - ref).max()) < 2e-2
+
+
+def _smooth_frame():
+    yy, xx = np.mgrid[:400, :400].astype(np.float32)
+    return jnp.asarray(
+        np.stack([xx / 400, yy / 400, 0.5 + 0.3 * np.sin(xx / 40)], -1)
+    )
+
+
+def test_reduced_res_warp_semantics_and_quality():
+    """warp_plane_res=128: same slot/symmetry/black semantics, and close to the
+    exact path on smooth textures (the extra resample mirrors the reference's own
+    warp->crop->resize chain)."""
+    frame = _smooth_frame()
+    win = cr.Window(jnp.float32(50), jnp.float32(50), jnp.float32(300), jnp.float32(300))
+    table = pack_bilinear_table(
+        stages._to_signed_lab(cr.crop_resize(frame, win, stages.SRC_TABLE))
+    )
+    local = np.random.RandomState(70)  # independent of module rng state (order!)
+    src_polys = jnp.asarray(local.rand(5, 6, 2).astype(np.float32) * 250 + 70)
+    # dst = exact homography image of src (mild affinity): in production the
+    # correspondences are projections of the same 3D points, so the DLT solve is
+    # (near-)exact and the warped texture lands inside the dst polygon's bbox.
+    dst_polys = src_polys * 0.9 + jnp.asarray([20.0, 12.0])
+    # Symmetry substitution warps src LEFT (idx 0) onto the dst RIGHT slot (idx 1);
+    # in production those correspondences are projections of mirrored coplanar
+    # points (an exact homography) — make the test pair consistent the same way.
+    dst_polys = dst_polys.at[1].set(src_polys[0] * 0.9 + jnp.asarray([20.0, 12.0]))
+    sv, dv = _vis(True, False), _vis(False, True)
+    exact = np.asarray(
+        stages.warp_planes_to_crop(table, win, src_polys, dst_polys, sv, dv, win)
+    )
+    stages.configure_models(warp_plane_res=128)
+    try:
+        fast = np.asarray(
+            stages.warp_planes_to_crop(table, win, src_polys, dst_polys, sv, dv, win)
+        )
+    finally:
+        stages.configure_models(warp_plane_res=256)
+
+    # Semantics: the same slots are (non)black.
+    black = np.asarray(stages.LAB_BLACK_SIGNED)
+    for p in range(5):
+        nb_exact = (np.abs(exact[p] - black).sum(-1) > 0.05).sum()
+        nb_fast = (np.abs(fast[p] - black).sum(-1) > 0.05).sum()
+        assert (nb_exact == 0) == (nb_fast == 0), p
+        if nb_exact:
+            assert abs(nb_fast - nb_exact) / nb_exact < 0.1, (p, nb_exact, nb_fast)
+
+    # Quality on the filled planes.
+    mse = float(np.mean((exact - fast) ** 2))
+    psnr = 10 * np.log10(4.0 / max(mse, 1e-12))  # signed-LAB range 2
+    assert psnr > 30.0, psnr
