@@ -167,7 +167,13 @@ def synthesize_scene(
         jnp.isfinite(vunet_crops), axis=(2, 3, 4)
     )  # (V, S+1)
     window_ok = (win_fields[2] > 1.0) & (win_fields[3] > 1.0)
-    ok = (finite_ok & window_ok)[:, :, None, None]
+    # A failed PnP (non-finite reprojection error, e.g. garbage keypoints) exits
+    # the LM restarts with a FINITE canonical pose — without this gate the vehicle
+    # would composite a phantom car at that default pose. The reference's bare
+    # try/except skips the whole vehicle in that case (trajectory_inference.py:
+    # 252-253); gate all of its steps.
+    pose_ok = jnp.isfinite(err)[:, None]  # (V, 1)
+    ok = (finite_ok & window_ok & pose_ok)[:, :, None, None]
     veh_masks = veh_masks & ok
     icn_crops = jnp.where(jnp.isfinite(icn_crops), icn_crops, 0.0)
     vunet_crops = jnp.where(jnp.isfinite(vunet_crops), vunet_crops, 0.0)
