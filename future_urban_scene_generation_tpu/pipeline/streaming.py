@@ -24,6 +24,11 @@ import numpy as np
 from future_urban_scene_generation_tpu.pipeline import runner as _runner
 
 
+@jax.jit
+def _u8_to_f32(img):
+    return img.astype(jnp.float32) / 255.0
+
+
 class StreamRunner:
     def __init__(
         self,
@@ -58,16 +63,24 @@ class StreamRunner:
         m[:n] = np.asarray(meters, np.float32)[:n, : self.n_steps]
         return b, m
 
+    @staticmethod
+    def _upload(img: np.ndarray):
+        """Host->device image upload. uint8 inputs ship 4x fewer bytes over
+        PCIe/tunnel and convert to f32 [0,1] on device — with a remote device the
+        frame upload, not compute, bounds sustained streaming throughput."""
+        img = np.asarray(img)
+        if img.dtype == np.uint8:
+            dev = jax.device_put(img)
+            return _u8_to_f32(dev)
+        return jax.device_put(jnp.asarray(img, jnp.float32))
+
     def submit(self, frame: np.ndarray, bboxes, meters, background: Optional[np.ndarray] = None):
         """Enqueue one scene; returns the OLDEST completed result once the pipeline
-        depth is reached (None while filling)."""
+        depth is reached (None while filling). ``frame``/``background`` may be
+        uint8 (preferred: 4x cheaper upload) or float [0, 1]."""
         t0 = time.perf_counter()
-        frame_d = jax.device_put(jnp.asarray(frame, jnp.float32))
-        bg_d = (
-            jax.device_put(jnp.asarray(background, jnp.float32))
-            if background is not None
-            else frame_d
-        )
+        frame_d = self._upload(frame)
+        bg_d = self._upload(background) if background is not None else frame_d
         b, m = self._pad(bboxes, meters)
         result = _runner.run_scene(
             self.models, self.cad_bank, frame_d, bg_d,

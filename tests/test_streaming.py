@@ -50,3 +50,16 @@ def test_stream_runner_pipelines():
         assert r.frames_icn.shape == (3, H, W, 3)
         assert np.isfinite(np.asarray(r.frames_icn)).all()
     assert len(stream.latencies) == 3
+
+
+def test_uint8_upload_matches_float():
+    import numpy as np
+    import jax.numpy as jnp
+    from future_urban_scene_generation_tpu.pipeline.streaming import StreamRunner
+
+    rng = np.random.RandomState(1)
+    u8 = rng.randint(0, 256, (32, 48, 3), np.uint8)
+    a = np.asarray(StreamRunner._upload(u8))
+    b = np.asarray(StreamRunner._upload(u8.astype(np.float32) / 255.0))
+    assert a.dtype == np.float32
+    np.testing.assert_allclose(a, b, atol=1e-7)
