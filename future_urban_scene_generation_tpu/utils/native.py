@@ -151,6 +151,8 @@ def parse_tracking_native(path) -> Optional[np.ndarray]:
     got = lib.fusg_tracking_parse(
         str(path).encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n
     )
+    if got == -2:
+        raise ValueError(f"{path}: expected 10 columns")
     if got < 0:
         raise IOError(f"native parse failed for {path}")
     return out[:got]

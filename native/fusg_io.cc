@@ -258,7 +258,10 @@ long fusg_tracking_parse(const char* path, double* out, long max_rows) {
       p = next;
       if (p < end && *p == ',') ++p;
     }
-    if (col > 0) ++row;
+    if (col > 0) {
+      if (col != 10) return -2;  // malformed row: CityFlow tracking is 10 cols
+      ++row;
+    }
     if (p < end) ++p;  // skip newline
   }
   return row;

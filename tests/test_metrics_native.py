@@ -78,3 +78,26 @@ def test_async_writer_error_reporting(tmp_path):
     writer.submit(tmp_path / "no_such_dir" / "x.png", np.zeros((8, 8, 3), np.uint8))
     assert writer.flush() == 1
     writer.close()
+
+
+def test_native_tracking_parser_rejects_malformed(tmp_path):
+    import numpy as np
+    import pytest
+
+    from future_urban_scene_generation_tpu.utils.native import (
+        get_native,
+        parse_tracking_native,
+    )
+
+    if get_native() is None:
+        pytest.skip("native library unavailable")
+    good = tmp_path / "good.txt"
+    np.savetxt(good, np.arange(20).reshape(2, 10), delimiter=",")
+    out = parse_tracking_native(good)
+    assert out.shape == (2, 6)
+    np.testing.assert_allclose(out[0], np.arange(6))
+
+    bad = tmp_path / "bad.txt"
+    np.savetxt(bad, np.zeros((2, 7)), delimiter=",")
+    with pytest.raises(ValueError):
+        parse_tracking_native(bad)

@@ -117,3 +117,27 @@ def test_cli_inpaint_mode_end_to_end(dataset, tmp_path):
     assert rc == 0
     pngs = sorted(out_dir.rglob("*.png"))
     assert len(pngs) == 12
+
+
+def test_input_validation_errors(tmp_path):
+    """Host-edge validation parity (SURVEY §5): missing tracking/calibration files
+    raise FileNotFoundError; an empty frames dir raises; malformed tracking rows
+    raise ValueError (run_test.py:127-128, video_info_utils.py:14-15,28-29)."""
+    import pytest
+
+    from future_urban_scene_generation_tpu.utils import video as vio
+
+    with pytest.raises(FileNotFoundError):
+        vio.parse_tracking_file(tmp_path, "tc", "ssd512")
+    with pytest.raises(FileNotFoundError):
+        vio.parse_calibration_file(tmp_path / "calibration.txt")
+
+    (tmp_path / "frames").mkdir()
+    with pytest.raises(FileNotFoundError):
+        vio.VideoReader(tmp_path / "frames", resize_hw=None)
+
+    (tmp_path / "mtsc").mkdir()
+    bad = tmp_path / "mtsc" / "mtsc_tc_ssd512.txt"
+    np.savetxt(bad, np.zeros((3, 7)), delimiter=",")  # 7 cols, not 10
+    with pytest.raises(ValueError):
+        vio.parse_tracking_file(tmp_path, "tc", "ssd512")
