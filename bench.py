@@ -126,19 +126,25 @@ def main():
     # on the axon runtime both an unblocked same-input loop (2130 "fps") and even
     # a block_until_ready-per-iteration loop (3538 "fps") have reported impossible
     # numbers; copying a slice of the result to host each iteration cannot lie.
-    iters = 5
+    # Median of 10 per-iteration times: the chip is shared, and contention drifts
+    # run-to-run rates by ~10% — the median of individually-timed iterations is
+    # robust to a contended stretch.
+    iters = 10
     frames = [
         jnp.asarray(rng.rand(H, W, 3).astype(np.float32)) for _ in range(iters)
     ]
     jax.block_until_ready(frames)
     checksum = 0.0
-    t0 = time.perf_counter()
+    times = []
     for f in frames:
+        t0 = time.perf_counter()
         result = run(f)
         # One 4-byte host read of a device-computed scalar per iteration: forces
         # the scene execution to complete without paying a bulk tunnel transfer.
         checksum += float(jnp.sum(result.frames_icn[0, ::64, ::64, 0]))
-    dt = (time.perf_counter() - t0) / iters
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
     assert np.isfinite(checksum)
 
     frames_per_scene = 2 * T  # both generator branches composite T frames each
