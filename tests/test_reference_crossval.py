@@ -434,3 +434,52 @@ def test_vunet_real_network_parity(ref):
     our_img = model.apply(params, jnp.asarray(y), mu_ours, cov=0.0,
                           method=Vunet.decode_shape)
     assert np.abs(np.asarray(our_img).transpose(0, 3, 1, 2) - ref_img).max() < 5e-2
+
+
+def test_heatmap_targets_crossval(ref):
+    from future_urban_scene_generation_tpu.ops.heatmap import kpoint_to_heatmap
+
+    ref_fn = ref["utils.keypoint_utils"].kpoint_to_heatmap
+    for kp in ([0.3, 0.7], [0.9, 0.1], [-1.0, -1.0]):
+        r = ref_fn(np.asarray(kp, np.float64), (64, 64), sigma=2.0)
+        o = np.asarray(kpoint_to_heatmap(jnp.asarray(np.float32(kp)), (64, 64), 2.0))
+        np.testing.assert_allclose(o, r, atol=1e-5)
+
+
+def test_metrics_crossval(ref):
+    import importlib
+
+    from future_urban_scene_generation_tpu.ops.metrics import edge_accuracy, psnr
+
+    m = importlib.import_module("edgeconnect.metrics")
+    a = rng.rand(16, 16).astype(np.float32) * 255
+    b = rng.rand(16, 16).astype(np.float32) * 255
+    ref_psnr = m.PSNR(255.0)(torch.from_numpy(a), torch.from_numpy(b))
+    assert abs(float(psnr(jnp.asarray(a), jnp.asarray(b), 255.0)) - float(ref_psnr)) < 1e-3
+
+    e1 = (rng.rand(16, 16) > 0.7).astype(np.float32)
+    e2 = (rng.rand(16, 16) > 0.7).astype(np.float32)
+    rp, rr = m.EdgeAccuracy(0.5)(torch.from_numpy(e1), torch.from_numpy(e2))
+    op, orr = edge_accuracy(jnp.asarray(e1), jnp.asarray(e2), 0.5)
+    assert abs(float(op) - float(rp)) < 1e-5
+    assert abs(float(orr) - float(rr)) < 1e-5
+
+
+def test_image_ref_to_crop_ref_crossval(ref):
+    from future_urban_scene_generation_tpu.ops.crop import image_ref_to_crop_ref
+    from future_urban_scene_generation_tpu.utils.keypoints import KEYPOINT_NAMES
+
+    ref_fn = ref["utils.crop_utils"].image_ref_to_crop_ref
+    kps = rng.rand(12, 2) * 400 - 50  # some will fall outside the crop
+    kps[3] = [-1, -1]  # missing marker
+    d = {n: tuple(kps[i]) for i, n in enumerate(KEYPOINT_NAMES)}
+    for normalize in (False, True):
+        r = ref_fn(d, crop_tl=(40, 30), crop_pad=(5, 8), crop_shape=(200, 200, 3),
+                   normalize=normalize)
+        o = image_ref_to_crop_ref(kps.copy(), (40, 30), (5, 8), (200, 200, 3),
+                                  normalize)
+        for i, n in enumerate(KEYPOINT_NAMES):
+            np.testing.assert_allclose(
+                np.asarray(o[i], np.float64), np.asarray(r[n], np.float64),
+                atol=1e-9, err_msg=n,
+            )
