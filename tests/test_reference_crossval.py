@@ -483,3 +483,57 @@ def test_image_ref_to_crop_ref_crossval(ref):
                 np.asarray(o[i], np.float64), np.asarray(r[n], np.float64),
                 atol=1e-9, err_msg=n,
             )
+
+
+def test_icn_input_assembly_crossval(ref):
+    """Channel order + LAB normalization of the 21-channel ICN input vs the
+    reference's own conversion chain (warp_learn/models.py:353-364).
+
+    The reference converts sketch/central with COLOR_RGB2LAB but planes with
+    COLOR_BGR2LAB (planes_to_torch) — the channel inconsistency PARITY.md §6
+    documents. This framework is RGB throughout, so the planes comparison feeds
+    the reference the channel-swapped image: passing makes the documented
+    convention mapping executable.
+    """
+    import cv2
+
+    from future_urban_scene_generation_tpu.ops import colorspace as cs
+
+    pu = ref["warp_learn.planes_utils"]
+    img_u8 = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+
+    def ours_signed_lab(rgb_u8):
+        return np.asarray(
+            cs.rgb_to_lab(jnp.asarray(rgb_u8.astype(np.float32) / 255.0)) * 2.0 - 1.0
+        )
+
+    # Sketch/central path: RGB2LAB + ToTensor + Normalize(0.5, 0.5).
+    ref_lab = cv2.cvtColor(img_u8, cv2.COLOR_RGB2LAB).astype(np.float32) / 255.0
+    ref_signed = ref_lab * 2.0 - 1.0
+    ours = ours_signed_lab(img_u8)
+    assert np.abs(ours - ref_signed).max() < 0.03  # cv2 LUT quantization
+
+    # Planes path: the reference applies COLOR_BGR2LAB, so its input must be the
+    # channel-swapped image to produce the same LAB texture as our RGB pipeline.
+    planes_ref = pu.planes_to_torch([img_u8[..., ::-1]], to_LAB=True).numpy()
+    ours_plane = ours_signed_lab(img_u8).transpose(2, 0, 1)
+    assert np.abs(ours_plane - planes_ref[0]).max() < 0.03
+
+    # 21-channel concat order: [sketch | central | 5 planes] (models.py:364) ==
+    # stages.icn_synthesize input layout.
+    from future_urban_scene_generation_tpu.pipeline import stages
+
+    sketch = rng.rand(256, 256, 3).astype(np.float32)
+    central = rng.rand(256, 256, 3).astype(np.float32) * 2 - 1
+    planes = rng.rand(5, 256, 256, 3).astype(np.float32) * 2 - 1
+    sketch_lab = np.asarray(stages._to_signed_lab(jnp.asarray(sketch)))
+    expected = np.concatenate(
+        [sketch_lab, central] + [planes[i] for i in range(5)], axis=-1
+    )
+    got = np.asarray(
+        jnp.concatenate(
+            [stages._to_signed_lab(jnp.asarray(sketch)), jnp.asarray(central),
+             jnp.concatenate(list(jnp.asarray(planes)), axis=-1)], axis=-1,
+        )
+    )
+    np.testing.assert_allclose(got, expected, atol=1e-6)
