@@ -14,7 +14,6 @@ Models: icn | vunet | edge | hourglass | cad
 from __future__ import annotations
 
 import argparse
-import time
 from pathlib import Path
 
 
