@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--video_fps", type=int, default=10)
     p.add_argument("--inpaint", action="store_true")
     p.add_argument("--inpaint_model", type=int, choices=[1, 2, 3, 4], default=4)
+    p.add_argument("--reference-channel-order", action="store_true",
+                   help="reproduce the reference's BGR/channel-reversal "
+                        "conventions when running its trained checkpoints "
+                        "(PARITY.md #6)")
     p.add_argument("--segmenter", choices=["background", "maskrcnn"],
                    default="background",
                    help="inpaint-branch vehicle segmenter; maskrcnn loads "
@@ -72,6 +76,7 @@ def main(argv=None):
         inpaint=args.inpaint,
         inpaint_model=args.inpaint_model,
         segmenter=args.segmenter,
+        reference_channel_order=args.reference_channel_order,
         reso=args.reso,
         batch=args.batch,
         blocks=args.blocks,

@@ -97,6 +97,10 @@ class PipelineConfig:
     blocks: int = 1
     stacks: int = 2
     device: str = "tpu"
+    # Reproduce the reference's channel conventions (BGR crops into the nets,
+    # channel-reversed VUNet sketches — PARITY.md §6) when running its trained
+    # checkpoints. Default False: clean RGB end-to-end.
+    reference_channel_order: bool = False
     # Inpaint-branch vehicle segmenter: "background" (BackgroundDiffSegmenter) or
     # "maskrcnn" (native models/maskrcnn.py, loaded from
     # checkpoints_dir/maskrcnn/maskrcnn.pth with an optional config.yml sidecar).

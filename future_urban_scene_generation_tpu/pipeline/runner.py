@@ -121,7 +121,11 @@ def synthesize_scene(
         mu_app = vunet_encode_appearance(
             models, frame, sketches[0], veh_masks[0], src_window
         )
-        central_lab = _to_signed_lab(central_crop_patch(frame, bbox_window))
+        # reference_channel_order: the reference applies RGB2LAB to its BGR
+        # central crop (PARITY.md §6) — reproduce by flipping before LAB.
+        central_lab = _to_signed_lab(
+            stages._maybe_flip_rgb(central_crop_patch(frame, bbox_window))
+        )
         from future_urban_scene_generation_tpu.ops.warp import pack_bilinear_table
 
         # The source texture table is converted to signed LAB ONCE here; plane warps

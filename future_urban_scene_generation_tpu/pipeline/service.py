@@ -137,6 +137,7 @@ class SceneService:
             num_stacks=self.cfg.stacks,
             num_blocks=self.cfg.blocks,
             vunet_256=self.cfg.reso == 256,
+            reference_channel_order=self.cfg.reference_channel_order,
         )
 
         zoo = {}

@@ -74,6 +74,13 @@ MODEL_SPEC = {
     # bound); the extra bilinear resample mirrors the reference's own
     # warp->crop->resize chain.
     "warp_plane_res": 256,
+    # Reproduce the reference's channel conventions bit-for-bit when running ITS
+    # trained checkpoints (PARITY.md §6): the reference frame is BGR (cv2), its
+    # sketch/central LAB conversions apply RGB2LAB to BGR data, and the VUNet
+    # sketches are channel-reversed (trajectory_inference.py:225-227) — while the
+    # plane textures use BGR2LAB on BGR data (i.e. correct LAB, our default).
+    # False (default): clean RGB throughout.
+    "reference_channel_order": False,
     # Generator (ICN + VUNet) activation dtype: "float32" | "bfloat16". bf16 runs
     # the conv stacks at full MXU rate; params stay f32 and every normalization
     # statistic is computed in f32 (models/layers.py), so the only quantization is
@@ -98,6 +105,13 @@ def configure_models(**kwargs):
 
 def _generator_dtype():
     return jnp.bfloat16 if MODEL_SPEC["generator_dtype"] == "bfloat16" else jnp.float32
+
+
+def _maybe_flip_rgb(img):
+    """RGB<->BGR flip of the trailing channel axis under reference_channel_order."""
+    if MODEL_SPEC["reference_channel_order"]:
+        return img[..., ::-1]
+    return img
 
 
 class Models(NamedTuple):
@@ -135,7 +149,7 @@ def perceive(models: Models, frame: jnp.ndarray, bboxes: jnp.ndarray) -> Percept
     def one(bbox):
         window = cr.square_window_from_bbox(bbox)
         crop = cr.crop_resize(frame, window, CROP)
-        norm = (crop - IMAGENET_MEAN) / IMAGENET_STD
+        norm = (_maybe_flip_rgb(crop) - IMAGENET_MEAN) / IMAGENET_STD
         logits = cad_model.apply(models.cad_params, norm[None])[0]
         heat = kp_model.apply(models.hourglass_params, norm[None])["heatmaps"][-1]
         kp_norm = decode_heatmaps(heat)[0]
@@ -408,9 +422,10 @@ def vunet_encode_appearance(models: Models, frame, src_sketch, src_mask, src_win
     """
     _, _, _, vunet_model = Models.modules()
     with jax.named_scope("fusg.vunet_encode"):
-        veh = cr.crop_resize(frame, src_window, CROP)
+        veh = _maybe_flip_rgb(cr.crop_resize(frame, src_window, CROP))
         masked = jnp.where(src_mask[..., None], veh, 1.0)  # white background
-        x = jnp.concatenate([masked * 2.0 - 1.0, src_sketch * 2.0 - 1.0], axis=-1)
+        sketch = _maybe_flip_rgb(src_sketch)  # trajectory_inference.py:225-227
+        x = jnp.concatenate([masked * 2.0 - 1.0, sketch * 2.0 - 1.0], axis=-1)
         x = x.astype(_generator_dtype())
         return vunet_model.apply(
             models.vunet_params, x[None], cov=0.0, method=Vunet.encode_appearance
@@ -422,7 +437,7 @@ def vunet_synthesize(models: Models, dst_sketch, mu_app):
     _, _, _, vunet_model = Models.modules()
     with jax.named_scope("fusg.vunet_decode"):
         dtype = _generator_dtype()
-        y_tilde = (dst_sketch[None] * 2.0 - 1.0).astype(dtype)
+        y_tilde = (_maybe_flip_rgb(dst_sketch)[None] * 2.0 - 1.0).astype(dtype)
         mu_app = jax.tree_util.tree_map(lambda a: a.astype(dtype), mu_app)
         out = vunet_model.apply(
             models.vunet_params, y_tilde, mu_app, cov=0.0, method=Vunet.decode_shape

@@ -86,3 +86,39 @@ def test_f32_path_unchanged_by_mixed_precision_plumbing(models):
     b = stages.icn_synthesize(models, sketch, central, planes)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert a.dtype == jnp.float32
+
+
+def test_reference_channel_order_switch(models):
+    """PARITY.md §6: the switch reproduces the reference's per-tensor channel
+    conventions — VUNet sketches channel-reversed, vehicle/central crops consumed
+    BGR — and is a no-op when off."""
+    from future_urban_scene_generation_tpu.ops import crop as cr
+
+    frame = jnp.asarray(rng.rand(300, 400, 3).astype(np.float32))
+    sketch = jnp.asarray(rng.rand(256, 256, 3).astype(np.float32))
+    mask = jnp.asarray(rng.rand(256, 256) > 0.5)
+    win = cr.Window(jnp.float32(40), jnp.float32(30), jnp.float32(200), jnp.float32(200))
+
+    base_mu = stages.vunet_encode_appearance(models, frame, sketch, mask, win)
+    base_out = stages.vunet_synthesize(models, sketch, base_mu)
+
+    stages.configure_models(reference_channel_order=True)
+    try:
+        # Equivalent to the default path on a channel-flipped frame + sketch.
+        flip_mu = stages.vunet_encode_appearance(models, frame, sketch, mask, win)
+        flip_out = stages.vunet_synthesize(models, sketch, flip_mu)
+        stages.configure_models(reference_channel_order=False)
+        manual_mu = stages.vunet_encode_appearance(
+            models, frame[..., ::-1], sketch[..., ::-1], mask, win
+        )
+        manual_out = stages.vunet_synthesize(models, sketch[..., ::-1], manual_mu)
+    finally:
+        stages.configure_models(reference_channel_order=False)
+
+    np.testing.assert_allclose(np.asarray(flip_out), np.asarray(manual_out), atol=1e-6)
+    # And it actually changes the computation (the nets see different channels).
+    assert float(jnp.abs(flip_out - base_out).max()) > 1e-4
+
+    # Off-path unchanged.
+    again = stages.vunet_synthesize(models, sketch, base_mu)
+    np.testing.assert_array_equal(np.asarray(again), np.asarray(base_out))
