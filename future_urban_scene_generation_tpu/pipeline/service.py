@@ -207,18 +207,20 @@ class SceneService:
         if not bboxes:
             raise ValueError("no selected vehicle has a usable future track")
 
-        background = self._backgrounds(frame, frame_id, np.float32(bboxes))
-
-        # Pad the vehicle axis to a bucket of 4: each distinct V is a distinct
-        # jit program (remote compiles cost minutes), so requests for 1-4, 5-8, ...
-        # vehicles share programs. Padding vehicles carry degenerate boxes and
-        # zero tracks; the device fault barrier masks them out of the composite
-        # (the same mechanism StreamRunner uses).
+        # Pad the vehicle axis to a bucket of 4 BEFORE the inpaint branch: each
+        # distinct V is a distinct jit program for both the scene and the
+        # erase_vehicles scan (remote compiles cost minutes), so requests for
+        # 1-4, 5-8, ... vehicles share programs. Padding vehicles carry
+        # degenerate boxes and zero tracks: segmenters produce empty masks for
+        # them, erase leaves the frame untouched, and the device fault barrier
+        # masks them out of the composite (the same mechanism StreamRunner uses).
         n_real = len(bboxes)
         bucket = -(-n_real // 4) * 4
         for _ in range(bucket - n_real):
             bboxes.append(np.float32([0.0, 0.0, 0.0, 0.0]))
             meter_tracks.append(np.zeros((6, 2), np.float64))
+
+        background = self._backgrounds(frame, frame_id, np.float32(bboxes))
 
         result = runner.run_scene(
             self.models,
