@@ -70,6 +70,12 @@ class SceneService:
         )
 
         d = Path(self.cfg.checkpoints_dir) / "maskrcnn"
+        if not (d / "maskrcnn.pth").exists():
+            raise FileNotFoundError(
+                f"--segmenter maskrcnn needs {d / 'maskrcnn.pth'} (a torchvision "
+                "maskrcnn_resnet50_fpn state dict; optional config.yml sidecar "
+                "for reduced/fine-tuned configs)"
+            )
         sd = torch.load(d / "maskrcnn.pth", map_location="cpu", weights_only=True)
         if isinstance(sd, dict) and "model" in sd:
             sd = sd["model"]
