@@ -93,12 +93,15 @@ def main(argv=None):
 
     if args.gui:
         try:
+            # launch_gui defers the PyQt5 import into its body, so the call must
+            # sit inside the guard too.
             from future_urban_scene_generation_tpu.gui.app import launch_gui
+
+            return launch_gui(cfg)
         except ImportError as exc:
             print(f"GUI unavailable ({exc}); use --select-ids for headless mode.",
                   file=sys.stderr)
             return 2
-        return launch_gui(cfg)
 
     if not cfg.select_ids:
         print("No --select-ids given (headless mode requires explicit vehicle ids).",
