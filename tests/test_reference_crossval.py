@@ -537,3 +537,49 @@ def test_icn_input_assembly_crossval(ref):
         )
     )
     np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_vunet128_real_network_parity(ref):
+    """The vunet_256=False (128^2) variant — one fewer down/up stage."""
+    import argparse
+    import importlib
+    import tempfile
+
+    from future_urban_scene_generation_tpu.models.vunet import Vunet
+    from future_urban_scene_generation_tpu.pipeline.checkpoint import (
+        load_torch_checkpoint,
+    )
+
+    vlayers = importlib.import_module("vunet.layers")
+    if not getattr(vlayers.Sampler, "_cov0_patched", False):
+        _orig = vlayers.Sampler.forward
+
+        def _fwd0(self, x, cov=0.0):
+            return _orig(self, x, cov)
+
+        vlayers.Sampler.forward = _fwd0
+        vlayers.Sampler._cov0_patched = True
+
+    args = argparse.Namespace(up_mode="subpixel", w_norm=True, drop_prob=0.0,
+                              vunet_256=False)
+    tnet = ref["vunet.models"].Vunet_fix_res(args).eval()
+    with tempfile.TemporaryDirectory() as d:
+        p = Path(d) / "v.pth"
+        torch.save(tnet.state_dict(), p)
+        params, _ = load_torch_checkpoint(p)
+
+    x = rng.rand(1, 128, 128, 6).astype(np.float32) * 2 - 1
+    y = rng.rand(1, 128, 128, 3).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        yt = torch.from_numpy(y.transpose(0, 3, 1, 2))
+        out_up, skips_up = tnet.forward_enc_up(xt)
+        mu_app, _ = tnet.forward_enc_down(out_up, skips_up)
+        dec_up, skips_dec = tnet.forward_dec_up(yt)
+        ref_img = tnet.forward_dec_down(dec_up, skips_dec, mu_app)[0].numpy()
+    model = Vunet(vunet_256=False)
+    mu_ours = model.apply(params, jnp.asarray(x), cov=0.0,
+                          method=Vunet.encode_appearance)
+    our_img = model.apply(params, jnp.asarray(y), mu_ours, cov=0.0,
+                          method=Vunet.decode_shape)
+    assert np.abs(np.asarray(our_img).transpose(0, 3, 1, 2) - ref_img).max() < 5e-2
