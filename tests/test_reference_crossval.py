@@ -583,3 +583,42 @@ def test_vunet128_real_network_parity(ref):
     our_img = model.apply(params, jnp.asarray(y), mu_ours, cov=0.0,
                           method=Vunet.decode_shape)
     assert np.abs(np.asarray(our_img).transpose(0, 3, 1, 2) - ref_img).max() < 5e-2
+
+
+def test_discriminators_real_network_parity(ref):
+    """The REAL GAN discriminators through the converter: the ICN's multi-scale
+    PatchGAN (warp_learn/models.py:211-259) and EdgeConnect's spectral-norm
+    PatchGAN with feature taps (networks.py:138-181, eval-folded)."""
+    from future_urban_scene_generation_tpu.models.convert import convert_state_dict
+    from future_urban_scene_generation_tpu.models.edgeconnect import ECDiscriminator
+    from future_urban_scene_generation_tpu.models.icn import DNLayersMulti
+
+    wm = ref["warp_learn.models"]
+    tdis = wm.D_NLayersMulti(input_nc=3, ndf=16, n_layers=2, num_D=2).eval()
+    x = rng.rand(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref_outs = tdis(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    params = convert_state_dict(tdis.state_dict())
+    ours = DNLayersMulti(input_nc=3, ndf=16, n_layers=2).apply(params, jnp.asarray(x))
+    for r, o in zip(ref_outs, ours):
+        rn = r.numpy()
+        on = np.asarray(o).transpose(0, 3, 1, 2)
+        scale = max(1.0, np.abs(rn).max())
+        assert np.abs(on - rn).max() / scale < 5e-3
+
+    nets = ref["edgeconnect.networks"]
+    tec = nets.Discriminator(in_channels=3, use_sigmoid=True,
+                             use_spectral_norm=True).eval()
+    with torch.no_grad():
+        ref_out, ref_feats = tec(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    params = convert_state_dict(tec.state_dict())
+    our_out, our_feats = ECDiscriminator(in_channels=3, use_sigmoid=True).apply(
+        params, jnp.asarray(x)
+    )
+    assert np.abs(np.asarray(our_out).transpose(0, 3, 1, 2) - ref_out.numpy()).max() < 5e-3
+    assert len(our_feats) == len(ref_feats)
+    for r, o in zip(ref_feats, our_feats):
+        rn = r.numpy()
+        on = np.asarray(o).transpose(0, 3, 1, 2)
+        scale = max(1.0, np.abs(rn).max())
+        assert np.abs(on - rn).max() / scale < 5e-3
