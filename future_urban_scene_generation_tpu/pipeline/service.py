@@ -268,11 +268,40 @@ class SceneService:
             segmenter = self.segmenter or BackgroundDiffSegmenter(
                 jnp.asarray(static_bg if static_bg is not None else frame)
             )
-            steps = []
+            frames = []
             for n in range(6):
                 cur = self.reader.read(frame_id + 2 * n) if n else frame
-                if cur is None:
-                    cur = frame
+                frames.append(frame if cur is None else cur)
+            frames_d = jnp.asarray(np.stack(frames), jnp.float32)
+            bboxes_d = jnp.asarray(bboxes)
+            sigma = float(self.cfg.edgeconnect.sigma)
+
+            if isinstance(segmenter, BackgroundDiffSegmenter):
+                # Device-jittable segmenter: batch all (step, vehicle) masks and
+                # all per-step erase chains into TWO dispatches — the per-call
+                # host round trips (6 steps x V vehicles) dominate request
+                # latency behind a remote device.
+                import jax
+
+                masks = jax.jit(
+                    lambda fs, bs: jax.vmap(
+                        lambda f: jax.vmap(lambda b: segmenter(f, b))(bs)
+                    )(fs)
+                )(frames_d, bboxes_d)
+                erased = jax.jit(
+                    lambda fs, ms: jax.vmap(
+                        lambda f, m: erase_vehicles(
+                            self.edge_params, self.inpaint_params, f, bboxes_d, m,
+                            sigma=sigma,
+                        )
+                    )(fs, ms)
+                )(frames_d, masks)
+                return np.asarray(erased)
+
+            # Host/custom segmenters (e.g. Mask R-CNN): per-step loop.
+            steps = []
+            for n in range(6):
+                cur = frames[n]
                 masks = np.stack(
                     [np.asarray(segmenter(jnp.asarray(cur), jnp.asarray(b))) for b in bboxes]
                 )
@@ -280,9 +309,9 @@ class SceneService:
                     self.edge_params,
                     self.inpaint_params,
                     jnp.asarray(cur),
-                    jnp.asarray(bboxes),
+                    bboxes_d,
                     jnp.asarray(masks),
-                    sigma=float(self.cfg.edgeconnect.sigma),
+                    sigma=sigma,
                 )
                 steps.append(np.asarray(erased))
             return np.stack(steps)
