@@ -68,12 +68,40 @@ def load_torch_checkpoint(
     return params, iteration
 
 
-def load_reference_model_zoo(checkpoints_dir) -> Dict[str, Any]:
+def load_reference_model_zoo(checkpoints_dir, cache: bool = True) -> Dict[str, Any]:
     """Load every model of the reference checkpoint layout that is present on disk.
 
     Missing files are skipped (returned dict simply lacks the key) so partial
     checkpoint sets remain usable.
+
+    ``cache=True`` stores the converted trees as an Orbax checkpoint next to the
+    .pth files (<checkpoints_dir>/.converted_zoo) and restores from it when it is
+    newer than every .pth — torch-load + layout conversion of the full zoo costs
+    tens of seconds per process start.
     """
+    root = Path(checkpoints_dir)
+    cache_dir = root / ".converted_zoo"
+    pth_files = list(root.rglob("*.pth"))
+    if cache and cache_dir.exists() and pth_files:
+        newest_pth = max(p.stat().st_mtime for p in pth_files)
+        if cache_dir.stat().st_mtime >= newest_pth:
+            try:
+                cached = restore(cache_dir)
+                if isinstance(cached, dict) and cached:
+                    return cached
+            except Exception:
+                pass  # fall through to a fresh conversion
+
+    zoo = _convert_reference_model_zoo(root)
+    if cache and zoo and pth_files:
+        try:
+            save(cache_dir, zoo)
+        except Exception:
+            pass  # caching is best-effort
+    return zoo
+
+
+def _convert_reference_model_zoo(checkpoints_dir) -> Dict[str, Any]:
     from future_urban_scene_generation_tpu.models.edgeconnect import (
         EDGECONNECT_CONVT_KEYS,
     )

@@ -58,3 +58,35 @@ def test_load_reference_model_zoo_maskrcnn(tmp_path):
     assert p["backbone"]["body"]["conv1"]["kernel"].shape == (7, 7, 3, 8)
     # conv5_mask converts with the ConvTranspose layout (kh, kw, in, out).
     assert p["roi_heads"]["mask_predictor"]["conv5_mask"]["kernel"].shape == (2, 2, 8, 8)
+
+
+def test_zoo_conversion_cache_round_trip(tmp_path):
+    import numpy as np
+
+    (tmp_path / "kpoints").mkdir()
+    sd = {"conv1.weight": torch.randn(8, 3, 7, 7), "conv1.bias": torch.randn(8)}
+    torch.save(sd, tmp_path / "kpoints" / "hourglass.pth")
+    first = ckpt.load_reference_model_zoo(tmp_path)
+    assert (tmp_path / ".converted_zoo").exists()
+    second = ckpt.load_reference_model_zoo(tmp_path)  # restored from cache
+    np.testing.assert_allclose(
+        np.asarray(first["hourglass"]["params"]["conv1"]["kernel"]),
+        np.asarray(second["hourglass"]["params"]["conv1"]["kernel"]),
+    )
+    # A newer .pth invalidates the cache (mtime-based).
+    import os
+    import time as _time
+
+    _time.sleep(0.01)
+    sd2 = {"conv1.weight": torch.randn(8, 3, 7, 7) + 5.0,
+           "conv1.bias": torch.randn(8)}
+    torch.save(sd2, tmp_path / "kpoints" / "hourglass.pth")
+    os.utime(tmp_path / "kpoints" / "hourglass.pth")
+    third = ckpt.load_reference_model_zoo(tmp_path)
+    assert (
+        abs(
+            float(np.asarray(third["hourglass"]["params"]["conv1"]["kernel"]).mean())
+            - float(np.asarray(first["hourglass"]["params"]["conv1"]["kernel"]).mean())
+        )
+        > 1.0
+    )
