@@ -200,6 +200,147 @@ def synthesize_scene(
     return SceneResult(frames_icn, frames_vunet, err, perception.cad_idx)
 
 
+@partial(jax.jit, static_argnames=("vis_scale",))
+def _scene_geometry(models, cad_bank, frame, perception, meter_coords, intrinsic,
+                    vis_scale: float = 1.0):
+    """Stage A of the staged scene runner: everything up to (and excluding) the
+    generators — PnP, rollout, per-step rendering, visibility, polygons, and the
+    per-vehicle source tables/priors. Splitting here bounds remote-compile units
+    (ROADMAP #3): the geometry stage recompiles independently of generator
+    changes and vice versa."""
+    h, w = frame.shape[0], frame.shape[1]
+    vis_hw = (int(h * vis_scale), int(w * vis_scale))
+
+    with jax.named_scope("fusg.pnp"):
+        err, rvec, tvec = solve_poses(perception, cad_bank, intrinsic)
+        extrinsics = jax.vmap(extrinsic_from_rodrigues)(rvec, tvec)
+    with jax.named_scope("fusg.rollout"):
+        kp3d_all = cad_bank.keypoints3d[perception.cad_idx]
+        theta, translation = jax.vmap(pose_rollout)(meter_coords, kp3d_all)
+
+    from future_urban_scene_generation_tpu.ops.warp import pack_bilinear_table
+
+    def per_vehicle(cad_idx, bbox_window_fields, ext, kp3d, theta_v, tr_v):
+        verts = cad_bank.vertices[cad_idx]
+        tris = cad_bank.triangles[cad_idx]
+        normals = cad_bank.normals[cad_idx]
+        bbox_window = stages.cr.Window(*bbox_window_fields)
+
+        def per_step(theta_s, tr_s):
+            sketch, veh_mask, window = render_vehicle(
+                verts, tris, normals, ext, intrinsic, theta_s, tr_s
+            )
+            kp3d_s = kp3d @ z_rot(theta_s) + tr_s
+            kp2d_s = project_points_extrinsic(kp3d_s, intrinsic, ext)
+            visibility = vis.compute_visibility(
+                ext, kp2d_s * vis_scale, kp3d_s, vis_hw
+            )
+            polys = jnp.trunc(kp2d_s)[jnp.asarray(vis.TEXTURE_PLANES)]
+            return sketch, veh_mask, window, visibility[:5], polys
+
+        sketches, veh_masks, windows, visibilities, polys = jax.vmap(per_step)(
+            theta_v, tr_v
+        )
+        src_window = jax.tree.map(lambda f: f[0], windows)
+        central_lab = _to_signed_lab(
+            stages._maybe_flip_rgb(central_crop_patch(frame, bbox_window))
+        )
+        src_packed = pack_bilinear_table(
+            stages._to_signed_lab(
+                stages.cr.crop_resize(frame, src_window, stages.SRC_TABLE)
+            )
+        ).astype(stages._generator_dtype())
+        win_fields = (windows.x_start, windows.y_start, windows.w, windows.h)
+        src_win_fields = (src_window.x_start, src_window.y_start,
+                          src_window.w, src_window.h)
+        return (sketches, veh_masks, win_fields, visibilities, polys,
+                src_packed, central_lab, src_win_fields)
+
+    bbox_win = perception.window
+    bbox_win_fields = (bbox_win.x_start, bbox_win.y_start, bbox_win.w, bbox_win.h)
+    out = jax.vmap(per_vehicle)(
+        perception.cad_idx, bbox_win_fields, extrinsics, kp3d_all, theta, translation
+    )
+    return out + (err,)
+
+
+@jax.jit
+def _scene_generate(models, frame, background, geom, cad_idx):
+    """Stage B of the staged scene runner: generators + fault barrier + composite."""
+    (sketches, veh_masks, win_fields, visibilities, polys,
+     src_packed, central_lab, src_win_fields, err) = geom
+
+    def per_vehicle(sketches_v, masks_v, win_fields_v, vis_v, polys_v,
+                    src_packed_v, central_lab_v, src_win_fields_v):
+        src_window = stages.cr.Window(*src_win_fields_v)
+        mu_app = vunet_encode_appearance(
+            models, frame, sketches_v[0], masks_v[0], src_window
+        )
+
+        def per_step(sketch_s, window_fields_s, vis_s, polys_s):
+            window_s = stages.cr.Window(*window_fields_s)
+            planes_warped = warp_planes_to_crop(
+                src_packed_v, src_window, polys_v[0], polys_s, vis_v[0], vis_s,
+                window_s,
+            )
+            icn_rgb = icn_synthesize(models, sketch_s, central_lab_v, planes_warped)
+            vunet_rgb = vunet_synthesize(models, sketch_s, mu_app)
+            return icn_rgb, vunet_rgb
+
+        return jax.vmap(per_step)(sketches_v, win_fields_v, vis_v, polys_v)
+
+    icn_crops, vunet_crops = jax.vmap(per_vehicle)(
+        sketches, veh_masks, win_fields, visibilities, polys,
+        src_packed, central_lab, src_win_fields,
+    )
+
+    finite_ok = jnp.all(jnp.isfinite(icn_crops), axis=(2, 3, 4)) & jnp.all(
+        jnp.isfinite(vunet_crops), axis=(2, 3, 4)
+    )
+    window_ok = (win_fields[2] > 1.0) & (win_fields[3] > 1.0)
+    pose_ok = jnp.isfinite(err)[:, None]
+    ok = (finite_ok & window_ok & pose_ok)[:, :, None, None]
+    masks = veh_masks & ok
+    icn_crops = jnp.where(jnp.isfinite(icn_crops), icn_crops, 0.0)
+    vunet_crops = jnp.where(jnp.isfinite(vunet_crops), vunet_crops, 0.0)
+
+    n_steps = sketches.shape[1]
+    if background.ndim == 3:
+        background = jnp.broadcast_to(background, (n_steps,) + background.shape)
+
+    def per_step_composite(bg_s, icn_s, vunet_s, win_fields_s, masks_s):
+        windows_s = stages.cr.Window(*win_fields_s)
+        return (composite_step(bg_s, icn_s, windows_s, masks_s),
+                composite_step(bg_s, vunet_s, windows_s, masks_s))
+
+    step_fields = tuple(jnp.swapaxes(f, 0, 1) for f in win_fields)
+    frames_icn, frames_vunet = jax.vmap(per_step_composite)(
+        background,
+        jnp.swapaxes(icn_crops, 0, 1),
+        jnp.swapaxes(vunet_crops, 0, 1),
+        step_fields,
+        jnp.swapaxes(masks, 0, 1),
+    )
+    return SceneResult(frames_icn, frames_vunet, err, cad_idx)
+
+
+def synthesize_scene_staged(models, cad_bank, frame, background, perception,
+                            meter_coords, intrinsic, vis_scale: float = 1.0):
+    """:func:`synthesize_scene` split into two jits (geometry | generators).
+
+    Same math and outputs (equivalence-tested); trades one HBM round trip of the
+    intermediate tensors (tens of MB) for independently-compilable halves — use
+    during development to avoid the monolithic program's full remote recompile on
+    every generator or geometry change. Production serving keeps the fused
+    :func:`synthesize_scene`.
+    """
+    geom = _scene_geometry(
+        models, cad_bank, frame, perception, meter_coords, intrinsic,
+        vis_scale=vis_scale,
+    )
+    return _scene_generate(models, frame, background, geom, perception.cad_idx)
+
+
 def synthesize_scene_sharded(
     models, cad_bank, frame, background, perception, meter_coords, intrinsic,
     mesh, vis_scale: float = 1.0,

@@ -157,3 +157,28 @@ def test_fault_barrier_isolates_bad_vehicle(scene):
     np.testing.assert_allclose(
         np.asarray(both.frames_icn), np.asarray(ref.frames_icn), atol=5e-3
     )
+
+
+def test_staged_runner_matches_monolith(scene):
+    """synthesize_scene_staged (two jits, ROADMAP #3) equals the fused program."""
+    perception = _oracle_perception(scene)
+    t = np.linspace(0, 2.4, 3)
+    meters = jnp.asarray(np.float32(np.stack([t, np.zeros_like(t)], -1)[None]))
+    args = (
+        scene["models"], scene["cad_bank"], jnp.asarray(scene["frame"]),
+        jnp.asarray(scene["background"]), perception, meters, jnp.asarray(K),
+    )
+    fused = runner.synthesize_scene(*args, vis_scale=0.5)
+    staged = runner.synthesize_scene_staged(*args, vis_scale=0.5)
+    # atol 1e-3: the stage boundary materializes f32 intermediates the fused
+    # program keeps inside fusions — reassociation wiggles a handful of pixels
+    # by ~1e-4.
+    np.testing.assert_allclose(
+        np.asarray(staged.frames_icn), np.asarray(fused.frames_icn), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(staged.frames_vunet), np.asarray(fused.frames_vunet), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(staged.pnp_error), np.asarray(fused.pnp_error), rtol=1e-5
+    )
