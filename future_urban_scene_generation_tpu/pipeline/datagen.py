@@ -81,7 +81,6 @@ def _vehicle_views(key, cad_bank, intrinsic, frame_hw, vis_scale):
     return src, dst, cad_idx
 
 
-@partial(jax.jit, static_argnames=("batch", "frame_hw", "vis_scale"))
 def icn_batch(
     key, cad_bank, frame: jnp.ndarray, intrinsic, batch: int = 4,
     frame_hw=(720, 1280), vis_scale: float = 0.25,
@@ -89,6 +88,18 @@ def icn_batch(
     """Self-supervised ICN pairs: the 'texture' comes from pasting the src sketch
     onto the provided frame (a stand-in for real video appearance), and the target
     is the dst-view rendering of the same textured vehicle."""
+    return _icn_batch_impl(
+        key, cad_bank, frame, intrinsic, batch=batch, frame_hw=frame_hw,
+        vis_scale=vis_scale, spec=stages.spec_key(),
+    )
+
+
+# spec: MODEL_SPEC (warp_plane_res) is read at trace time via warp_planes_to_crop —
+# see stages.spec_key().
+@partial(jax.jit, static_argnames=("batch", "frame_hw", "vis_scale", "spec"))
+def _icn_batch_impl(
+    key, cad_bank, frame: jnp.ndarray, intrinsic, batch, frame_hw, vis_scale, spec,
+) -> ICNSample:
 
     def one(k):
         src, dst, _ = _vehicle_views(k, cad_bank, intrinsic, frame_hw, vis_scale)

@@ -44,7 +44,6 @@ class SceneResult(NamedTuple):
     cad_idx: jnp.ndarray  # (V,)
 
 
-@partial(jax.jit, static_argnames=("vis_scale",))
 def run_scene(
     models: Models,
     cad_bank: CadBank,
@@ -55,14 +54,24 @@ def run_scene(
     intrinsic: jnp.ndarray,  # (3, 3)
     vis_scale: float = 1.0,
 ) -> SceneResult:
-    perception = perceive(models, frame, bboxes)
-    return synthesize_scene(
-        models, cad_bank, frame, background, perception, meter_coords, intrinsic,
-        vis_scale=vis_scale,
+    return _run_scene_impl(
+        models, cad_bank, frame, background, bboxes, meter_coords, intrinsic,
+        vis_scale=vis_scale, spec=stages.spec_key(),
     )
 
 
-@partial(jax.jit, static_argnames=("vis_scale",))
+@partial(jax.jit, static_argnames=("vis_scale", "spec"))
+def _run_scene_impl(
+    models, cad_bank, frame, background, bboxes, meter_coords, intrinsic,
+    vis_scale, spec,
+) -> SceneResult:
+    perception = perceive(models, frame, bboxes)
+    return _synthesize_scene_impl(
+        models, cad_bank, frame, background, perception, meter_coords, intrinsic,
+        vis_scale=vis_scale, spec=spec,
+    )
+
+
 def synthesize_scene(
     models: Models,
     cad_bank: CadBank,
@@ -72,6 +81,26 @@ def synthesize_scene(
     meter_coords: jnp.ndarray,
     intrinsic: jnp.ndarray,
     vis_scale: float = 1.0,
+) -> SceneResult:
+    return _synthesize_scene_impl(
+        models, cad_bank, frame, background, perception, meter_coords, intrinsic,
+        vis_scale=vis_scale, spec=stages.spec_key(),
+    )
+
+
+# ``spec`` (stages.spec_key()) is a pure cache-key argument: MODEL_SPEC is read at
+# trace time, so a configure_models() change must map to a new jit cache entry.
+@partial(jax.jit, static_argnames=("vis_scale", "spec"))
+def _synthesize_scene_impl(
+    models: Models,
+    cad_bank: CadBank,
+    frame: jnp.ndarray,
+    background: jnp.ndarray,
+    perception,
+    meter_coords: jnp.ndarray,
+    intrinsic: jnp.ndarray,
+    vis_scale: float,
+    spec: tuple,
 ) -> SceneResult:
     h, w = frame.shape[0], frame.shape[1]
     vis_hw = (int(h * vis_scale), int(w * vis_scale))
@@ -200,9 +229,17 @@ def synthesize_scene(
     return SceneResult(frames_icn, frames_vunet, err, perception.cad_idx)
 
 
-@partial(jax.jit, static_argnames=("vis_scale",))
 def _scene_geometry(models, cad_bank, frame, perception, meter_coords, intrinsic,
                     vis_scale: float = 1.0):
+    return _scene_geometry_impl(
+        models, cad_bank, frame, perception, meter_coords, intrinsic,
+        vis_scale=vis_scale, spec=stages.spec_key(),
+    )
+
+
+@partial(jax.jit, static_argnames=("vis_scale", "spec"))
+def _scene_geometry_impl(models, cad_bank, frame, perception, meter_coords,
+                         intrinsic, vis_scale, spec):
     """Stage A of the staged scene runner: everything up to (and excluding) the
     generators — PnP, rollout, per-step rendering, visibility, polygons, and the
     per-vehicle source tables/priors. Splitting here bounds remote-compile units
@@ -264,8 +301,14 @@ def _scene_geometry(models, cad_bank, frame, perception, meter_coords, intrinsic
     return out + (err,)
 
 
-@jax.jit
 def _scene_generate(models, frame, background, geom, cad_idx):
+    return _scene_generate_impl(
+        models, frame, background, geom, cad_idx, spec=stages.spec_key()
+    )
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _scene_generate_impl(models, frame, background, geom, cad_idx, spec):
     """Stage B of the staged scene runner: generators + fault barrier + composite."""
     (sketches, veh_masks, win_fields, visibilities, polys,
      src_packed, central_lab, src_win_fields, err) = geom

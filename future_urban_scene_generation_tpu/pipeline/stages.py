@@ -59,8 +59,10 @@ class CadBank(NamedTuple):
 
 
 # Process-wide architecture knobs (the reference's --stacks/--blocks/--reso flags,
-# run_test.py:111-118, plus the fixed zoo hyperparameters). Mutated once at startup
-# via configure_models(); jit retraces naturally because the param trees change.
+# run_test.py:111-118, plus the fixed zoo hyperparameters). Mutated via
+# configure_models(); scene-level jits thread spec_key() as a static argument so
+# any change retraces (the knobs are read at trace time and several of them —
+# generator_dtype, warp_plane_res, reference_channel_order — don't change avals).
 MODEL_SPEC = {
     "num_stacks": 2,
     "num_blocks": 1,
@@ -101,6 +103,19 @@ def configure_models(**kwargs):
             f"generator_dtype must be 'float32' or 'bfloat16', got {dtype!r}"
         )
     MODEL_SPEC.update(kwargs)
+
+
+def spec_key() -> tuple:
+    """Hashable snapshot of MODEL_SPEC.
+
+    Scene-level jits read MODEL_SPEC at TRACE time; their array avals don't change
+    when knobs like generator_dtype/warp_plane_res/reference_channel_order are
+    toggled, so without this a configure_models() call after the first compile
+    would silently keep running the stale program. Every scene-level jit threads
+    spec_key() as a static argument so a spec change is a new cache entry
+    (retrace), never a silent no-op.
+    """
+    return tuple(sorted(MODEL_SPEC.items()))
 
 
 def _generator_dtype():
