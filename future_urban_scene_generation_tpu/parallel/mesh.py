@@ -49,11 +49,21 @@ def make_mesh(
 
 
 def init_distributed(coordinator_address: Optional[str] = None, **kwargs):
-    """Multi-host (DCN) initialization; no-op when already initialized or single-host."""
-    if jax.process_count() > 1:
+    """Multi-host (DCN) initialization; no-op when already initialized or when no
+    coordinator is given (explicit single-host).
+
+    Ordering contract: ``jax.distributed.initialize`` must run BEFORE any call
+    that touches a backend (``jax.devices()``/``jax.process_count()`` would
+    initialize a single-process local backend first, after which initialize is
+    too late). This function therefore only consults
+    ``jax.distributed.is_initialized()`` — which reads client state without
+    initializing a backend — and never queries devices/process counts itself.
+    """
+    if coordinator_address is None and not kwargs:
         return
-    if coordinator_address is not None:
-        jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)
+    if jax.distributed.is_initialized():
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
