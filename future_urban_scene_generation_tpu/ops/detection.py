@@ -13,9 +13,10 @@ model builds on:
   score-sorted boxes suppressing by IoU, exactly reproducing greedy NMS order;
 * ``batched_iou`` — pairwise IoU.
 
-A full Mask R-CNN is intentionally NOT bundled in round 1 — the pipeline's default
-segmenters (models/detector.py) don't need one — but these ops make any converted
-detection head runnable with static shapes.
+The full native Mask R-CNN (models/maskrcnn.py: ResNet50-FPN, RPN, box/mask heads,
+torchvision converter) builds on these ops; the pipeline exposes it via
+models/detector.MaskRCNNSegmenter and pipeline/tracking.MaskRCNNDetector alongside
+the lighter-weight segmenters that don't need a detector at all.
 """
 from __future__ import annotations
 

@@ -114,3 +114,68 @@ class StreamRunner:
         total = sum(self.latencies)
         frames = len(self.latencies) * 2 * self.n_steps
         return frames / max(total / min(self.depth, len(self.latencies)), 1e-9)
+
+
+class TrackingStreamRunner(StreamRunner):
+    """The full interactive loop with NO caller-supplied boxes or trajectories:
+    detect -> track -> predict future -> (keypoint -> PnP -> NVS -> composite).
+
+    The reference assumes precomputed tracking files + GUI selection
+    (utils/video_info_utils.py:7-21); this runner replaces that front-end with a
+    frame-level detector (pipeline/tracking.py) and a greedy-IoU
+    constant-velocity tracker, predicting each confirmed track's future
+    ground-plane trajectory from its own history. Detection of frame t+1 overlaps
+    synthesis of frame t: the detector's device work is dispatched first, the
+    scene program is enqueued behind it, and only the mask/box readback blocks.
+
+    detector: callable frame -> (boxes (N, 4) xyxy, scores (N,)) — e.g.
+        tracking.BackgroundDiffDetector / tracking.MaskRCNNDetector.
+    inv_homography: pixel -> GPS matrix (utils/video.py calibration), or None to
+        treat the pixel plane as the ground plane (synthetic scenes).
+    """
+
+    def __init__(self, models, cad_bank, intrinsic, frame_hw, n_vehicles,
+                 detector=None, inv_homography=None, stride: int = 2,
+                 min_track_frames: int = 3, tracker=None, **kwargs):
+        super().__init__(models, cad_bank, intrinsic, frame_hw, n_vehicles, **kwargs)
+        from future_urban_scene_generation_tpu.pipeline.tracking import IouTracker
+
+        self.detector = detector
+        self.tracker = tracker or IouTracker(min_hits=min_track_frames)
+        self.inv_homography = inv_homography
+        self.stride = stride
+
+    def submit_frame(self, frame: np.ndarray, background: Optional[np.ndarray] = None):
+        """One streaming step from a raw frame. Returns (result-or-None, tracks)."""
+        from future_urban_scene_generation_tpu.pipeline import tracking as trk
+
+        frame_d = self._upload(frame)  # device work for detect + scene, uploaded once
+        boxes, _scores = self.detector(frame_d)
+        confirmed = self.tracker.update(boxes)
+
+        sel_boxes, sel_meters = [], []
+        for t in confirmed:
+            meters = trk.predict_future_meters(
+                t.history, self.inv_homography, self.n_steps, stride=self.stride
+            )
+            if meters is None:
+                continue
+            sel_boxes.append(t.bbox)
+            sel_meters.append(meters)
+            if len(sel_boxes) == self.n_vehicles:
+                break
+        if not sel_boxes:
+            return None, confirmed
+
+        bg_d = self._upload(background) if background is not None else frame_d
+        b, m = self._pad(np.stack(sel_boxes), np.stack(sel_meters))
+        t0 = time.perf_counter()
+        result = _runner.run_scene(
+            self.models, self.cad_bank, frame_d, bg_d,
+            jnp.asarray(b), jnp.asarray(m), self.intrinsic,
+            vis_scale=self.vis_scale,
+        )
+        self._inflight.append((t0, result))
+        if len(self._inflight) < self.depth:
+            return None, confirmed
+        return self._drain_one(), confirmed
