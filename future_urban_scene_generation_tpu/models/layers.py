@@ -335,6 +335,10 @@ class WarpLearnLayerNorm(nn.Module):
     def __call__(self, x):
         n = x[0].size
         x32 = x.astype(jnp.float32)
+        # Note: the full (H, W, C) reduce here is NOT a bottleneck — profiling the
+        # ICN on v5e shows XLA fuses these statistics into the producing
+        # convolution's epilogue (one "convolution fusion" op); a hand-decomposed
+        # spatial-first reduce compiles to the identical program.
         mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
         m2 = jnp.mean(jnp.square(x32), axis=(1, 2, 3), keepdims=True)
         var = jnp.maximum(m2 - jnp.square(mean), 0.0) * (n / max(n - 1, 1))

@@ -24,13 +24,10 @@ from future_urban_scene_generation_tpu.pipeline.stages import (
     Models,
     central_crop_patch,
     composite_step,
-    icn_synthesize,
     perceive,
     pose_rollout,
     render_vehicle,
     solve_poses,
-    vunet_encode_appearance,
-    vunet_synthesize,
     warp_planes_to_crop,
     _to_signed_lab,
 )
@@ -102,131 +99,10 @@ def _synthesize_scene_impl(
     vis_scale: float,
     spec: tuple,
 ) -> SceneResult:
-    h, w = frame.shape[0], frame.shape[1]
-    vis_hw = (int(h * vis_scale), int(w * vis_scale))
-    n_steps = meter_coords.shape[1]
-    if background.ndim == 3:
-        background = jnp.broadcast_to(background, (n_steps,) + background.shape)
-
-    # --- Stage 2: pose (batched over V) -------------------------------------------
-    with jax.named_scope("fusg.pnp"):
-        err, rvec, tvec = solve_poses(perception, cad_bank, intrinsic)
-        extrinsics = jax.vmap(extrinsic_from_rodrigues)(rvec, tvec)
-
-    # --- Stage 3: rollout (batched over V) -----------------------------------------
-    with jax.named_scope("fusg.rollout"):
-        kp3d_all = cad_bank.keypoints3d[perception.cad_idx]  # (V, 12, 3)
-        theta, translation = jax.vmap(pose_rollout)(meter_coords, kp3d_all)  # (V, S+1[, 3])
-
-    # --- Stage 4+5: render / warp / synthesize (batched over V x S+1) --------------
-    def per_vehicle(cad_idx, bbox_window_fields, ext, kp3d, theta_v, tr_v):
-        verts = cad_bank.vertices[cad_idx]
-        tris = cad_bank.triangles[cad_idx]
-        normals = cad_bank.normals[cad_idx]
-        bbox_window = stages.cr.Window(*bbox_window_fields)
-
-        def per_step(theta_s, tr_s):
-            with jax.named_scope("fusg.render"):
-                sketch, veh_mask, window = render_vehicle(
-                    verts, tris, normals, ext, intrinsic, theta_s, tr_s
-                )
-            with jax.named_scope("fusg.visibility"):
-                kp3d_s = kp3d @ z_rot(theta_s) + tr_s
-                kp2d_s = project_points_extrinsic(kp3d_s, intrinsic, ext)
-                visibility = vis.compute_visibility(
-                    ext, kp2d_s * vis_scale, kp3d_s, vis_hw
-                )
-                polys = jnp.trunc(kp2d_s)[jnp.asarray(vis.TEXTURE_PLANES)]
-            return sketch, veh_mask, window, visibility[:5], polys
-
-        sketches, veh_masks, windows, visibilities, polys = jax.vmap(per_step)(
-            theta_v, tr_v
-        )
-
-        # Per-vehicle one-time work: appearance encoding, ICN prior, and the
-        # source-texture table the plane warps gather from (VMEM-sized; gathering
-        # from the full 1080p frame measured ~10x slower).
-        src_window = jax.tree.map(lambda f: f[0], windows)
-        mu_app = vunet_encode_appearance(
-            models, frame, sketches[0], veh_masks[0], src_window
-        )
-        # reference_channel_order: the reference applies RGB2LAB to its BGR
-        # central crop (PARITY.md §6) — reproduce by flipping before LAB.
-        central_lab = _to_signed_lab(
-            stages._maybe_flip_rgb(central_crop_patch(frame, bbox_window))
-        )
-        from future_urban_scene_generation_tpu.ops.warp import pack_bilinear_table
-
-        # The source texture table is converted to signed LAB ONCE here; plane warps
-        # then produce LAB directly (saves ~40 ms/scene of per-step colorspace math).
-        # In bf16 serving mode the table is stored bf16: the warp gather is HBM
-        # random-access LATENCY bound (48 B/index), so halving the line to 24 B
-        # measured ~18% faster — and the textures feed the bf16 ICN anyway.
-        src_packed = pack_bilinear_table(
-            stages._to_signed_lab(
-                stages.cr.crop_resize(frame, src_window, stages.SRC_TABLE)
-            )
-        ).astype(stages._generator_dtype())
-
-        def per_step_synth(sketch_s, window_fields_s, vis_s, polys_s):
-            window_s = stages.cr.Window(*window_fields_s)
-            with jax.named_scope("fusg.plane_warp"):
-                planes_warped = warp_planes_to_crop(
-                    src_packed, src_window, polys[0], polys_s, visibilities[0], vis_s,
-                    window_s,
-                )
-            icn_rgb = icn_synthesize(models, sketch_s, central_lab, planes_warped)
-            vunet_rgb = vunet_synthesize(models, sketch_s, mu_app)
-            return icn_rgb, vunet_rgb
-
-        win_fields = (windows.x_start, windows.y_start, windows.w, windows.h)
-        icn_crops, vunet_crops = jax.vmap(per_step_synth)(
-            sketches, win_fields, visibilities, polys
-        )
-        return icn_crops, vunet_crops, veh_masks, win_fields
-
-    bbox_win = perception.window
-    bbox_win_fields = (bbox_win.x_start, bbox_win.y_start, bbox_win.w, bbox_win.h)
-    icn_crops, vunet_crops, veh_masks, win_fields = jax.vmap(per_vehicle)(
-        perception.cad_idx, bbox_win_fields, extrinsics, kp3d_all, theta, translation
+    geom = _geometry_core(
+        models, cad_bank, frame, perception, meter_coords, intrinsic, vis_scale
     )
-    # Shapes: (V, S+1, 256, 256, 3), masks (V, S+1, 256, 256), windows fields (V, S+1).
-
-    # Fault barrier (branchless counterpart of the reference's per-vehicle/per-step
-    # try/except skips, trajectory_inference.py:252-253, 444-445): a vehicle-step
-    # whose synthesis produced non-finite values or a degenerate window contributes
-    # nothing to the composite instead of corrupting the frame.
-    finite_ok = jnp.all(jnp.isfinite(icn_crops), axis=(2, 3, 4)) & jnp.all(
-        jnp.isfinite(vunet_crops), axis=(2, 3, 4)
-    )  # (V, S+1)
-    window_ok = (win_fields[2] > 1.0) & (win_fields[3] > 1.0)
-    # A failed PnP (non-finite reprojection error, e.g. garbage keypoints) exits
-    # the LM restarts with a FINITE canonical pose — without this gate the vehicle
-    # would composite a phantom car at that default pose. The reference's bare
-    # try/except skips the whole vehicle in that case (trajectory_inference.py:
-    # 252-253); gate all of its steps.
-    pose_ok = jnp.isfinite(err)[:, None]  # (V, 1)
-    ok = (finite_ok & window_ok & pose_ok)[:, :, None, None]
-    veh_masks = veh_masks & ok
-    icn_crops = jnp.where(jnp.isfinite(icn_crops), icn_crops, 0.0)
-    vunet_crops = jnp.where(jnp.isfinite(vunet_crops), vunet_crops, 0.0)
-
-    # --- Stage 6: composite (vmap over steps, scan over V inside) ------------------
-    def per_step_composite(bg_s, icn_s, vunet_s, win_fields_s, masks_s):
-        windows_s = stages.cr.Window(*win_fields_s)
-        frame_icn = composite_step(bg_s, icn_s, windows_s, masks_s)
-        frame_vunet = composite_step(bg_s, vunet_s, windows_s, masks_s)
-        return frame_icn, frame_vunet
-
-    step_fields = tuple(jnp.swapaxes(f, 0, 1) for f in win_fields)  # (S+1, V)
-    frames_icn, frames_vunet = jax.vmap(per_step_composite)(
-        background,
-        jnp.swapaxes(icn_crops, 0, 1),
-        jnp.swapaxes(vunet_crops, 0, 1),
-        step_fields,
-        jnp.swapaxes(veh_masks, 0, 1),
-    )
-    return SceneResult(frames_icn, frames_vunet, err, perception.cad_idx)
+    return _generate_core(models, frame, background, geom, perception.cad_idx)
 
 
 def _scene_geometry(models, cad_bank, frame, perception, meter_coords, intrinsic,
@@ -244,7 +120,15 @@ def _scene_geometry_impl(models, cad_bank, frame, perception, meter_coords,
     generators — PnP, rollout, per-step rendering, visibility, polygons, and the
     per-vehicle source tables/priors. Splitting here bounds remote-compile units
     (ROADMAP #3): the geometry stage recompiles independently of generator
-    changes and vice versa."""
+    changes and vice versa. The monolithic scene jit runs the SAME core, so
+    staged == monolith by construction (test_pipeline pins it)."""
+    return _geometry_core(
+        models, cad_bank, frame, perception, meter_coords, intrinsic, vis_scale
+    )
+
+
+def _geometry_core(models, cad_bank, frame, perception, meter_coords,
+                   intrinsic, vis_scale):
     h, w = frame.shape[0], frame.shape[1]
     vis_hw = (int(h * vis_scale), int(w * vis_scale))
 
@@ -310,32 +194,51 @@ def _scene_generate(models, frame, background, geom, cad_idx):
 @partial(jax.jit, static_argnames=("spec",))
 def _scene_generate_impl(models, frame, background, geom, cad_idx, spec):
     """Stage B of the staged scene runner: generators + fault barrier + composite."""
+    return _generate_core(models, frame, background, geom, cad_idx)
+
+
+def _generate_core(models, frame, background, geom, cad_idx):
     (sketches, veh_masks, win_fields, visibilities, polys,
      src_packed, central_lab, src_win_fields, err) = geom
+    v, s = sketches.shape[0], sketches.shape[1]
 
-    def per_vehicle(sketches_v, masks_v, win_fields_v, vis_v, polys_v,
-                    src_packed_v, central_lab_v, src_win_fields_v):
+    # Plane warps stay per-(vehicle, step) vmaps: the stage is gather-latency
+    # bound, not MXU bound, so it gains nothing from a flattened batch.
+    def per_vehicle_warp(src_packed_v, src_win_fields_v, polys_v, vis_v,
+                         win_fields_v):
         src_window = stages.cr.Window(*src_win_fields_v)
-        mu_app = vunet_encode_appearance(
-            models, frame, sketches_v[0], masks_v[0], src_window
-        )
 
-        def per_step(sketch_s, window_fields_s, vis_s, polys_s):
-            window_s = stages.cr.Window(*window_fields_s)
-            planes_warped = warp_planes_to_crop(
-                src_packed_v, src_window, polys_v[0], polys_s, vis_v[0], vis_s,
-                window_s,
-            )
-            icn_rgb = icn_synthesize(models, sketch_s, central_lab_v, planes_warped)
-            vunet_rgb = vunet_synthesize(models, sketch_s, mu_app)
-            return icn_rgb, vunet_rgb
+        def per_step(window_fields_s, vis_s, polys_s):
+            with jax.named_scope("fusg.plane_warp"):
+                return warp_planes_to_crop(
+                    src_packed_v, src_window, polys_v[0], polys_s, vis_v[0],
+                    vis_s, stages.cr.Window(*window_fields_s),
+                )
 
-        return jax.vmap(per_step)(sketches_v, win_fields_v, vis_v, polys_v)
+        return jax.vmap(per_step)(win_fields_v, vis_v, polys_v)
 
-    icn_crops, vunet_crops = jax.vmap(per_vehicle)(
-        sketches, veh_masks, win_fields, visibilities, polys,
-        src_packed, central_lab, src_win_fields,
+    planes = jax.vmap(per_vehicle_warp)(
+        src_packed, src_win_fields, polys, visibilities, win_fields
+    )  # (V, S, 5, 256, 256, 3)
+
+    # Generators run as ONE true batch over V*S: a single conv program at batch
+    # N=V*S gives XLA the whole batch for MXU tiling instead of V x S nested
+    # batch-1 programs (stages.icn_synthesize_batch).
+    src_windows = stages.cr.Window(*src_win_fields)  # batched (V,)
+    mu_app = stages.vunet_encode_appearance_batch(
+        models, frame, sketches[:, 0], veh_masks[:, 0], src_windows
     )
+    n = v * s
+
+    def flat(a):
+        return a.reshape((n,) + a.shape[2:])
+
+    icn_crops = stages.icn_synthesize_batch(
+        models, flat(sketches), jnp.repeat(central_lab, s, axis=0), flat(planes)
+    ).reshape(v, s, stages.CROP, stages.CROP, 3)
+    mu_rep = jax.tree.map(lambda a: jnp.repeat(a, s, axis=0), mu_app)
+    vunet_crops = stages.vunet_decode_batch(models, flat(sketches), mu_rep)
+    vunet_crops = vunet_crops.reshape(v, s, stages.CROP, stages.CROP, 3)
 
     finite_ok = jnp.all(jnp.isfinite(icn_crops), axis=(2, 3, 4)) & jnp.all(
         jnp.isfinite(vunet_crops), axis=(2, 3, 4)
