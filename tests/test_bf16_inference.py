@@ -12,6 +12,10 @@ import pytest
 
 from future_urban_scene_generation_tpu.pipeline import stages
 
+# Scene-program compiles / torch network builds: slow tier (cold-cache cost
+# is minutes; `pytest -m smoke` skips these for per-change runs).
+pytestmark = pytest.mark.slow
+
 rng = np.random.RandomState(11)
 
 

@@ -5,6 +5,11 @@ import jax.numpy as jnp
 
 from future_urban_scene_generation_tpu.pipeline import datagen, runner
 from future_urban_scene_generation_tpu.utils import mesh as mu
+import pytest
+
+# Scene-program compiles / torch network builds: slow tier (cold-cache cost
+# is minutes; `pytest -m smoke` skips these for per-change runs).
+pytestmark = pytest.mark.slow
 
 K = jnp.asarray([[600.0, 0, 320], [0, 600.0, 180], [0, 0, 1]])
 FRAME_HW = (360, 640)

@@ -4,10 +4,17 @@ import jax
 import jax.numpy as jnp
 
 from future_urban_scene_generation_tpu.ops.heatmap import heatmaps_from_kpoints
+import pytest
+
 from future_urban_scene_generation_tpu.pipeline.training import (
     CadClassifierTrainer,
     HourglassTrainer,
 )
+
+
+# Scene-program compiles / torch network builds: slow tier (cold-cache cost
+# is minutes; `pytest -m smoke` skips these for per-change runs).
+pytestmark = pytest.mark.slow
 
 
 def test_hourglass_train_step_and_bn_stats():

@@ -12,6 +12,11 @@ from future_urban_scene_generation_tpu.models.edgeconnect import (
     InpaintGenerator,
 )
 from future_urban_scene_generation_tpu.pipeline import inpaint
+import pytest
+
+# Scene-program compiles / torch network builds: slow tier (cold-cache cost
+# is minutes; `pytest -m smoke` skips these for per-change runs).
+pytestmark = pytest.mark.slow
 
 
 def _params():

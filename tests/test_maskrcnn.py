@@ -16,6 +16,11 @@ import jax
 import jax.numpy as jnp
 
 from future_urban_scene_generation_tpu.models import maskrcnn as mr
+import pytest
+
+# Scene-program compiles / torch network builds: slow tier (cold-cache cost
+# is minutes; `pytest -m smoke` skips these for per-change runs).
+pytestmark = pytest.mark.slow
 
 rng = np.random.RandomState(7)
 

@@ -17,6 +17,10 @@ from future_urban_scene_generation_tpu.pipeline import runner, stages
 from future_urban_scene_generation_tpu.pipeline.stages import configure_models
 from future_urban_scene_generation_tpu.utils import mesh as mu
 
+# Scene-program compiles / torch network builds: slow tier (cold-cache cost
+# is minutes; `pytest -m smoke` skips these for per-change runs).
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture
 def tiny_scene():

@@ -5,10 +5,17 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from future_urban_scene_generation_tpu.parallel import mesh as pmesh
+import pytest
+
 from future_urban_scene_generation_tpu.pipeline.training import (
     EdgeModelTrainer,
     ICNTrainer,
 )
+
+
+# Scene-program compiles / torch network builds: slow tier (cold-cache cost
+# is minutes; `pytest -m smoke` skips these for per-change runs).
+pytestmark = pytest.mark.slow
 
 
 def test_make_mesh_shapes():

@@ -18,6 +18,10 @@ from future_urban_scene_generation_tpu.pipeline import runner, stages
 from future_urban_scene_generation_tpu.render import rasterizer as rz
 from future_urban_scene_generation_tpu.utils import mesh as mu
 
+# Scene-program compiles / torch network builds: slow tier (cold-cache cost
+# is minutes; `pytest -m smoke` skips these for per-change runs).
+pytestmark = pytest.mark.slow
+
 H, W = 240, 320
 K = np.array([[300.0, 0, W / 2], [0, 300.0, H / 2], [0, 0, 1]], dtype=np.float32)
 

@@ -381,6 +381,7 @@ def test_icn_real_network_parity(ref):
     assert np.abs(np.asarray(ours).transpose(0, 3, 1, 2) - ref_out).max() < 5e-3
 
 
+@pytest.mark.slow  # >10s: big torch build / heavy sweep
 def test_vunet_real_network_parity(ref):
     import argparse
 

@@ -10,6 +10,11 @@ from future_urban_scene_generation_tpu.parallel import mesh as pmesh
 from future_urban_scene_generation_tpu.pipeline import stages
 from future_urban_scene_generation_tpu.render import rasterizer as rz
 from future_urban_scene_generation_tpu.utils import mesh as mu
+import pytest
+
+# Scene-program compiles / torch network builds: slow tier (cold-cache cost
+# is minutes; `pytest -m smoke` skips these for per-change runs).
+pytestmark = pytest.mark.slow
 
 rng = np.random.RandomState(50)
 

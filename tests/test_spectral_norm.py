@@ -1,4 +1,5 @@
 """Training-mode spectral norm vs torch's power-iteration semantics."""
+import pytest
 import numpy as np
 import torch
 import jax
@@ -105,6 +106,7 @@ def test_snconvtranspose_matches_torch_power_iteration():
     assert np.abs(np.asarray(ours2) - ref2).max() < 1e-4
 
 
+@pytest.mark.slow  # >10s: big torch build / heavy sweep
 def test_sn_edge_generator_trains():
     """EdgeGenerator(spectral=True) + EdgeModelTrainer: one step runs, advances
     both SN power-iteration states, and keeps losses finite."""

@@ -1,5 +1,6 @@
 """VGG19 trunk + CAD classifier vs torchvision (random-init architecture oracle)."""
 import numpy as np
+import pytest
 import torch
 import jax.numpy as jnp
 
@@ -18,6 +19,7 @@ def _torch_vgg10():
     return t_vgg19(num_classes=10).eval()
 
 
+@pytest.mark.slow  # >40s: full torchvision-architecture VGG19 build
 def test_cad_classifier_parity():
     tm = _torch_vgg10()
     params = convert_vgg19_classifier(tm.state_dict())
@@ -31,6 +33,7 @@ def test_cad_classifier_parity():
     assert np.argmax(ours) == np.argmax(ref)
 
 
+@pytest.mark.slow  # >40s: full torchvision-architecture VGG19 build
 def test_cad_classifier_parity_256():
     tm = _torch_vgg10()
     params = convert_vgg19_classifier(tm.state_dict())

@@ -5,6 +5,11 @@ import jax.numpy as jnp
 
 from future_urban_scene_generation_tpu.models.vunet import Vunet
 from future_urban_scene_generation_tpu.pipeline.training import VunetTrainer
+import pytest
+
+# Scene-program compiles / torch network builds: slow tier (cold-cache cost
+# is minutes; `pytest -m smoke` skips these for per-change runs).
+pytestmark = pytest.mark.slow
 
 
 def test_vunet_train_step():

@@ -5,6 +5,7 @@ opposite faces of the vehicle — the painter's-algorithm visibility never marks
 both visible at once). These tests exercise every *realizable* visibility
 combination: at most one side visible per pose.
 """
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -144,6 +145,7 @@ def _smooth_frame():
     )
 
 
+@pytest.mark.slow  # >10s: big torch build / heavy sweep
 def test_reduced_res_warp_semantics_and_quality():
     """warp_plane_res=128: same slot/symmetry/black semantics, and close to the
     exact path on smooth textures (the extra resample mirrors the reference's own
