@@ -16,7 +16,10 @@ import numpy as np
 from future_urban_scene_generation_tpu.utils.bbox import BoundingBox
 
 
-def launch_gui(cfg):
+def launch_gui(cfg, exec_loop: bool = True):
+    """Build and run the GUI. ``exec_loop=False`` returns the (app, window) pair
+    without entering the Qt event loop — the headless handler tests drive events
+    on the window directly (PyQt5 is absent in CI; tests inject a stub Qt)."""
     import sys
 
     from PyQt5 import QtCore, QtGui, QtWidgets
@@ -129,4 +132,6 @@ def launch_gui(cfg):
     app = QtWidgets.QApplication(sys.argv)
     window = MainWindow()
     window.show()
+    if not exec_loop:
+        return app, window
     return app.exec_()
