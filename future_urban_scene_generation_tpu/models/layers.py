@@ -62,6 +62,36 @@ def activation(name: Optional[str]):
 # Convolutions
 # ---------------------------------------------------------------------------
 
+# conv_general_dilated with few input channels runs the MXU lane-starved on TPU:
+# the contraction tiles pad the channel (lane) dim to 128, so a 21-channel 7x7
+# stem measured 6% MXU utilization (18 ms of a 55 ms ICN forward at batch 24).
+# _conv_small_cin_matmul reformulates such stride-1 convs as a tap-stacked
+# matmul with contraction dim k*k*C (im2col concat + one (N*H*W, k²C) @ (k²C, O)
+# matmul) to fill the lanes. MEASURED SLOWER IN CONTEXT on v5e (scene trace:
+# ICN 59 -> 91 ms, VUNet 26 -> 34 ms with it wired into TorchConv/MyConv): the
+# k²-times-larger im2col intermediate's HBM round trip (~3.2 GB for the ICN
+# stem at batch 24) costs more than the lane starvation it removes. Kept (with
+# its parity test) as the documented dead end; NOT wired into TorchConv.
+def _conv_small_cin_matmul(x: jnp.ndarray, kernel: jnp.ndarray, padding: int):
+    """Stride-1 zero-padded conv as tap-stacked matmul. x (N,H,W,C) NHWC,
+    kernel (k,k,C,O) HWIO; returns (N,H,W,O) (same spatial size as lax conv
+    with symmetric ``padding``)."""
+    n, h, w, c = x.shape
+    k = kernel.shape[0]
+    p = padding
+    out_h = h + 2 * p - (k - 1)
+    out_w = w + 2 * p - (k - 1)
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    cols = [
+        xp[:, ky:ky + out_h, kx:kx + out_w, :]
+        for ky in range(k)
+        for kx in range(k)
+    ]
+    xcol = jnp.concatenate(cols, axis=-1)  # (N, out_h, out_w, k²C)
+    kmat = kernel.reshape(k * k * c, -1)  # (ky, kx, c) order matches cols
+    return xcol @ kmat
+
+
 class TorchConv(nn.Module):
     """torch nn.Conv2d equivalent: zero padding, cross-correlation, bias.
 

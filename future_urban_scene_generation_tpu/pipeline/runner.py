@@ -148,15 +148,17 @@ def _geometry_core(models, cad_bank, frame, perception, meter_coords,
         bbox_window = stages.cr.Window(*bbox_window_fields)
 
         def per_step(theta_s, tr_s):
-            sketch, veh_mask, window = render_vehicle(
-                verts, tris, normals, ext, intrinsic, theta_s, tr_s
-            )
-            kp3d_s = kp3d @ z_rot(theta_s) + tr_s
-            kp2d_s = project_points_extrinsic(kp3d_s, intrinsic, ext)
-            visibility = vis.compute_visibility(
-                ext, kp2d_s * vis_scale, kp3d_s, vis_hw
-            )
-            polys = jnp.trunc(kp2d_s)[jnp.asarray(vis.TEXTURE_PLANES)]
+            with jax.named_scope("fusg.render"):
+                sketch, veh_mask, window = render_vehicle(
+                    verts, tris, normals, ext, intrinsic, theta_s, tr_s
+                )
+            with jax.named_scope("fusg.visibility"):
+                kp3d_s = kp3d @ z_rot(theta_s) + tr_s
+                kp2d_s = project_points_extrinsic(kp3d_s, intrinsic, ext)
+                visibility = vis.compute_visibility(
+                    ext, kp2d_s * vis_scale, kp3d_s, vis_hw
+                )
+                polys = jnp.trunc(kp2d_s)[jnp.asarray(vis.TEXTURE_PLANES)]
             return sketch, veh_mask, window, visibility[:5], polys
 
         sketches, veh_masks, windows, visibilities, polys = jax.vmap(per_step)(

@@ -161,17 +161,21 @@ def perceive(models: Models, frame: jnp.ndarray, bboxes: jnp.ndarray) -> Percept
     keypoint localization, keypoints mapped back to frame coordinates."""
     cad_model, kp_model, _, _ = Models.modules()
 
-    def one(bbox):
-        window = cr.square_window_from_bbox(bbox)
-        crop = cr.crop_resize(frame, window, CROP)
-        norm = (_maybe_flip_rgb(crop) - IMAGENET_MEAN) / IMAGENET_STD
-        logits = cad_model.apply(models.cad_params, norm[None])[0]
-        heat = kp_model.apply(models.hourglass_params, norm[None])["heatmaps"][-1]
-        kp_norm = decode_heatmaps(heat)[0]
-        kp_frame = cr.crop_to_frame_coords(kp_norm, window)
-        return jnp.argmax(logits), kp_frame, window, crop
+    with jax.named_scope("fusg.perceive"):
+        def one(bbox):
+            window = cr.square_window_from_bbox(bbox)
+            crop = cr.crop_resize(frame, window, CROP)
+            return window, crop
 
-    cad_idx, kp_frame, window, crop = jax.vmap(one)(bboxes)
+        window, crop = jax.vmap(one)(bboxes)
+        # One true batch-V forward for both perception nets (same rationale as
+        # icn_synthesize_batch: a single conv program over the whole batch).
+        norm = (_maybe_flip_rgb(crop) - IMAGENET_MEAN) / IMAGENET_STD
+        logits = cad_model.apply(models.cad_params, norm)
+        heat = kp_model.apply(models.hourglass_params, norm)["heatmaps"][-1]
+        kp_norm = decode_heatmaps(heat)
+        kp_frame = jax.vmap(cr.crop_to_frame_coords)(kp_norm, window)
+        cad_idx = jnp.argmax(logits, axis=-1)
     return Perception(cad_idx, kp_frame, window, crop)
 
 
@@ -510,8 +514,9 @@ def composite_step(background, crops, windows, masks):
         mask_frame = _mask_to_frame(mask, window, frame.shape[:2])
         return cr.stitch(frame, crop_img, window, mask_frame), None
 
-    win_tuple = (windows.x_start, windows.y_start, windows.w, windows.h)
-    out, _ = jax.lax.scan(body, background, (crops, win_tuple, masks))
+    with jax.named_scope("fusg.composite"):
+        win_tuple = (windows.x_start, windows.y_start, windows.w, windows.h)
+        out, _ = jax.lax.scan(body, background, (crops, win_tuple, masks))
     return out
 
 

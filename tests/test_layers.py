@@ -187,3 +187,24 @@ def test_elu_matches_torch():
     ref = F.elu(torch.from_numpy(x)).numpy()
     ours = np.asarray(L.activation("elu")(jnp.asarray(x)))
     assert np.abs(ours - ref).max() < 1e-6
+
+
+def test_small_cin_matmul_conv_matches_lax():
+    """The tap-stacked-matmul fast path for small-input-channel stride-1 convs
+    (layers._conv_small_cin_matmul) is numerically the same conv."""
+    import jax
+
+    from future_urban_scene_generation_tpu.models import layers as L
+
+    rng = np.random.RandomState(3)
+    for (h, w, c, k, p, o) in ((18, 22, 21, 7, 3, 8), (16, 16, 3, 3, 1, 5),
+                               (12, 14, 6, 5, 0, 4)):
+        x = jnp.asarray(rng.rand(2, h, w, c).astype(np.float32))
+        kern = jnp.asarray(rng.rand(k, k, c, o).astype(np.float32) - 0.5)
+        fast = L._conv_small_cin_matmul(x, kern, p)
+        ref = jax.lax.conv_general_dilated(
+            x, kern, (1, 1), ((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        assert fast.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=2e-4)
