@@ -242,15 +242,22 @@ def _generate_core(models, frame, background, geom, cad_idx):
     vunet_crops = stages.vunet_decode_batch(models, flat(sketches), mu_rep)
     vunet_crops = vunet_crops.reshape(v, s, stages.CROP, stages.CROP, 3)
 
-    finite_ok = jnp.all(jnp.isfinite(icn_crops), axis=(2, 3, 4)) & jnp.all(
-        jnp.isfinite(vunet_crops), axis=(2, 3, 4)
+    # Fault barrier (branchless counterpart of the reference's per-vehicle /
+    # per-step try/except skips, trajectory_inference.py:252-253, 444-445).
+    # Finiteness via a spatial SUM: NaN/Inf propagate through the reduction, and
+    # a sum fuses into the generators' epilogues — the previous
+    # all(isfinite(...)) reduce + full-tensor where-rewrite of both crop stacks
+    # traced at ~10 ms/scene. Skipping the value rewrite is safe because
+    # compositing selects (ops/crop.stitch uses jnp.where on the mask), and a
+    # non-finite vehicle-step's mask is forced all-false here — its values are
+    # never selected, and select_n does not propagate unselected NaNs.
+    finite_ok = jnp.isfinite(jnp.sum(icn_crops, axis=(2, 3, 4))) & jnp.isfinite(
+        jnp.sum(vunet_crops, axis=(2, 3, 4))
     )
     window_ok = (win_fields[2] > 1.0) & (win_fields[3] > 1.0)
     pose_ok = jnp.isfinite(err)[:, None]
     ok = (finite_ok & window_ok & pose_ok)[:, :, None, None]
     masks = veh_masks & ok
-    icn_crops = jnp.where(jnp.isfinite(icn_crops), icn_crops, 0.0)
-    vunet_crops = jnp.where(jnp.isfinite(vunet_crops), vunet_crops, 0.0)
 
     n_steps = sketches.shape[1]
     if background.ndim == 3:
