@@ -53,10 +53,11 @@ def main():
     # at >=35 dB PSNR vs f32) and reduced-res plane warps (gather an 128^2 grid
     # over each plane's dst bbox + one scale_and_translate paste — the extra
     # bilinear resample mirrors the reference's own warp->crop->resize chain;
-    # semantics + quality pinned by tests/test_warp_planes.py). Visibility runs at
-    # vis_scale=0.5: the painter's-area flags agree 62/63 with full-res across the
-    # pose sweep (test_visibility_planes.py::test_visibility_scale_invariance);
-    # 0.25 measured 58/63 and is NOT used.
+    # semantics + quality pinned by tests/test_warp_planes.py). Visibility
+    # rasters in a scale-free 192^2 local window per vehicle-step
+    # (compute_visibility_local: area ratios are affine-invariant; pose-sweep
+    # agreement with the full-resolution raster 831/840 —
+    # test_visibility_planes.py::test_visibility_local_matches_frame).
     configure_models(generator_dtype="bfloat16", warp_plane_res=128)
     from future_urban_scene_generation_tpu.geometry.rotations import x_rot, z_rot
     from future_urban_scene_generation_tpu.pipeline import runner, stages
@@ -116,7 +117,6 @@ def main():
 
     run = lambda f: runner.run_scene(  # noqa: E731 — FULL path incl. perception
         models, cad_bank, f, background, bboxes, meters, jnp.asarray(K),
-        vis_scale=0.5,
     )
     result = run(frame)
     # Warm the scene program AND the scalar-checksum readback program.

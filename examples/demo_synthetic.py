@@ -76,7 +76,7 @@ def main(out_path="docs/demo_strip.png"):
 
     result = runner.synthesize_scene(
         models, cad_bank, jnp.asarray(frame), jnp.asarray(background), perception,
-        meters, jnp.asarray(K), vis_scale=0.5,
+        meters, jnp.asarray(K),
     )
     print(f"PnP reprojection mse: {float(result.pnp_error[0]):.4f}")
 

@@ -54,8 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gui", action="store_true", help="launch the Qt GUI if available")
     p.add_argument("--frame-hw", type=int, nargs=2, default=None, metavar=("H", "W"),
                    help="working resolution (default 720 1280; 'native' via -1 -1)")
-    p.add_argument("--vis-scale", type=float, default=1.0,
-                   help="plane-visibility raster scale (1.0 = frame-res parity)")
+    p.add_argument("--vis-res", type=int, default=192,
+                   help="plane-visibility local raster resolution (scale-free; "
+                        "area ratios are affine-invariant)")
+    p.add_argument("--vis-scale", type=float, default=None,
+                   help="DEPRECATED and ignored: visibility now rasters in a "
+                        "scale-free local window (--vis-res)")
     return p
 
 
@@ -88,7 +92,10 @@ def main(argv=None):
     )
     if args.frame_hw is not None:
         cfg.runtime.frame_hw = None if args.frame_hw[0] < 0 else tuple(args.frame_hw)
-    cfg.runtime.vis_scale = args.vis_scale
+    cfg.runtime.vis_res = args.vis_res
+    if args.vis_scale is not None:
+        print("--vis-scale is deprecated and ignored (see --vis-res)",
+              file=sys.stderr)
     cfg.load_edgeconnect_yaml()
 
     if args.gui:

@@ -69,7 +69,7 @@ def main(argv=None):
             key, sub = jax.random.split(key)
             sample = datagen.icn_batch(
                 sub, cad_bank, frame, intrinsic, batch=args.batch,
-                frame_hw=frame_hw, vis_scale=0.25,
+                frame_hw=frame_hw, vis_res=192,
             )
             state, metrics = step_fn(state, sample.inputs, sample.targets)
             _maybe_log_save(args, logger, checkpoint, ckpt_path, state, i, metrics)
@@ -87,7 +87,7 @@ def main(argv=None):
             key, sub = jax.random.split(key)
             sample = datagen.vunet_batch(
                 sub, cad_bank, frame, intrinsic, batch=args.batch,
-                frame_hw=frame_hw, vis_scale=0.25,
+                frame_hw=frame_hw, vis_res=192,
             )
             params, opt_state, metrics = step_fn(
                 params, opt_state, sub, sample.y_tilde, sample.x_app, sample.target

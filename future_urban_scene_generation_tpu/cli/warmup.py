@@ -24,7 +24,7 @@ def build_parser():
     p.add_argument("--frame-hw", type=int, nargs=2, default=[1080, 1920])
     p.add_argument("--vehicles", type=int, nargs="+", default=[4])
     p.add_argument("--steps", type=int, default=6)
-    p.add_argument("--vis-scale", type=float, default=0.25)
+    p.add_argument("--vis-res", type=int, default=192)
     p.add_argument("--generator-dtype", choices=["float32", "bfloat16"],
                    default="bfloat16")
     p.add_argument("--warp-plane-res", type=int, default=128)
@@ -111,7 +111,7 @@ def main(argv=None):
         if args.perception:
             out = runner.run_scene(
                 models, cad_bank, frame, background, bboxes, meters,
-                jnp.asarray(k_mat), vis_scale=args.vis_scale,
+                jnp.asarray(k_mat), vis_res=args.vis_res,
             )
         else:
             window = jax.vmap(cr.square_window_from_bbox)(bboxes)
@@ -122,7 +122,7 @@ def main(argv=None):
             )
             out = runner.synthesize_scene(
                 models, cad_bank, frame, background, perception, meters,
-                jnp.asarray(k_mat), vis_scale=args.vis_scale,
+                jnp.asarray(k_mat), vis_res=args.vis_res,
             )
         _ = float(jnp.sum(out.frames_icn[0, ::64, ::64, 0]))
         print(f"warmed V={v} ({h}x{w}, steps={t_steps}, "

@@ -71,7 +71,9 @@ class RuntimeConfig:
 
     mesh_data: int = -1  # -1: all devices
     mesh_model: int = 1
-    vis_scale: float = 1.0  # plane-visibility raster scale (1.0 = frame-res parity)
+    # Plane-visibility local-raster resolution (render/visibility.py:
+    # compute_visibility_local — scale-free, area ratios are affine-invariant).
+    vis_res: int = 192
     sketch_res: int = 256
     # Working frame resolution (reference: 1280x720, GUI/app_interface.py:181).
     # None = native resolution of the video/frames.

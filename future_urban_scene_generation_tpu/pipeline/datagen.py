@@ -52,7 +52,7 @@ def _random_pose(key, intrinsic):
     return ext
 
 
-def _vehicle_views(key, cad_bank, intrinsic, frame_hw, vis_scale):
+def _vehicle_views(key, cad_bank, intrinsic, frame_hw, vis_res):
     """Render src + dst views of a random CAD at a random pose and heading delta."""
     kc, kp_, kd = jax.random.split(key, 3)
     cad_idx = jax.random.randint(kc, (), 0, cad_bank.vertices.shape[0])
@@ -69,10 +69,7 @@ def _vehicle_views(key, cad_bank, intrinsic, frame_hw, vis_scale):
         )
         kp3d_s = kp3d @ z_rot(theta)
         kp2d_s = project_points_extrinsic(kp3d_s, intrinsic, ext)
-        visibility = vis.compute_visibility(
-            ext, kp2d_s * vis_scale,
-            kp3d_s, (int(frame_hw[0] * vis_scale), int(frame_hw[1] * vis_scale)),
-        )
+        visibility = vis.compute_visibility_local(ext, kp2d_s, kp3d_s, res=vis_res)
         polys = jnp.trunc(kp2d_s)[jnp.asarray(vis.TEXTURE_PLANES)]
         return sketch, mask, window, visibility[:5], polys
 
@@ -83,26 +80,26 @@ def _vehicle_views(key, cad_bank, intrinsic, frame_hw, vis_scale):
 
 def icn_batch(
     key, cad_bank, frame: jnp.ndarray, intrinsic, batch: int = 4,
-    frame_hw=(720, 1280), vis_scale: float = 0.25,
+    frame_hw=(720, 1280), vis_res: int = 192,
 ) -> ICNSample:
     """Self-supervised ICN pairs: the 'texture' comes from pasting the src sketch
     onto the provided frame (a stand-in for real video appearance), and the target
     is the dst-view rendering of the same textured vehicle."""
     return _icn_batch_impl(
         key, cad_bank, frame, intrinsic, batch=batch, frame_hw=frame_hw,
-        vis_scale=vis_scale, spec=stages.spec_key(),
+        vis_res=vis_res, spec=stages.spec_key(),
     )
 
 
 # spec: MODEL_SPEC (warp_plane_res) is read at trace time via warp_planes_to_crop —
 # see stages.spec_key().
-@partial(jax.jit, static_argnames=("batch", "frame_hw", "vis_scale", "spec"))
+@partial(jax.jit, static_argnames=("batch", "frame_hw", "vis_res", "spec"))
 def _icn_batch_impl(
-    key, cad_bank, frame: jnp.ndarray, intrinsic, batch, frame_hw, vis_scale, spec,
+    key, cad_bank, frame: jnp.ndarray, intrinsic, batch, frame_hw, vis_res, spec,
 ) -> ICNSample:
 
     def one(k):
-        src, dst, _ = _vehicle_views(k, cad_bank, intrinsic, frame_hw, vis_scale)
+        src, dst, _ = _vehicle_views(k, cad_bank, intrinsic, frame_hw, vis_res)
         (s_sk, s_mask, s_win, s_vis, s_polys) = src
         (d_sk, d_mask, d_win, d_vis, d_polys) = dst
         # Textured frame: paste the src sketch into the frame at its window.
@@ -127,13 +124,13 @@ def _icn_batch_impl(
     return ICNSample(xs, ys)
 
 
-@partial(jax.jit, static_argnames=("batch", "frame_hw", "vis_scale"))
+@partial(jax.jit, static_argnames=("batch", "frame_hw", "vis_res"))
 def vunet_batch(
     key, cad_bank, frame: jnp.ndarray, intrinsic, batch: int = 4,
-    frame_hw=(720, 1280), vis_scale: float = 0.25,
+    frame_hw=(720, 1280), vis_res: int = 192,
 ) -> VunetSample:
     def one(k):
-        src, dst, _ = _vehicle_views(k, cad_bank, intrinsic, frame_hw, vis_scale)
+        src, dst, _ = _vehicle_views(k, cad_bank, intrinsic, frame_hw, vis_res)
         (s_sk, s_mask, s_win, _, _) = src
         (d_sk, d_mask, _, _, _) = dst
         veh = cr.crop_resize(frame, s_win, stages.CROP)

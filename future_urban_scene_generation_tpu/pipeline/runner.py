@@ -49,23 +49,23 @@ def run_scene(
     bboxes: jnp.ndarray,  # (V, 4) xyxy
     meter_coords: jnp.ndarray,  # (V, T, 2) metric trajectory (T-1 future steps)
     intrinsic: jnp.ndarray,  # (3, 3)
-    vis_scale: float = 1.0,
+    vis_res: int = 192,
 ) -> SceneResult:
     return _run_scene_impl(
         models, cad_bank, frame, background, bboxes, meter_coords, intrinsic,
-        vis_scale=vis_scale, spec=stages.spec_key(),
+        vis_res=vis_res, spec=stages.spec_key(),
     )
 
 
-@partial(jax.jit, static_argnames=("vis_scale", "spec"))
+@partial(jax.jit, static_argnames=("vis_res", "spec"))
 def _run_scene_impl(
     models, cad_bank, frame, background, bboxes, meter_coords, intrinsic,
-    vis_scale, spec,
+    vis_res, spec,
 ) -> SceneResult:
     perception = perceive(models, frame, bboxes)
     return _synthesize_scene_impl(
         models, cad_bank, frame, background, perception, meter_coords, intrinsic,
-        vis_scale=vis_scale, spec=spec,
+        vis_res=vis_res, spec=spec,
     )
 
 
@@ -77,17 +77,17 @@ def synthesize_scene(
     perception,  # stages.Perception — possibly oracle-injected (tests/benchmarks)
     meter_coords: jnp.ndarray,
     intrinsic: jnp.ndarray,
-    vis_scale: float = 1.0,
+    vis_res: int = 192,
 ) -> SceneResult:
     return _synthesize_scene_impl(
         models, cad_bank, frame, background, perception, meter_coords, intrinsic,
-        vis_scale=vis_scale, spec=stages.spec_key(),
+        vis_res=vis_res, spec=stages.spec_key(),
     )
 
 
 # ``spec`` (stages.spec_key()) is a pure cache-key argument: MODEL_SPEC is read at
 # trace time, so a configure_models() change must map to a new jit cache entry.
-@partial(jax.jit, static_argnames=("vis_scale", "spec"))
+@partial(jax.jit, static_argnames=("vis_res", "spec"))
 def _synthesize_scene_impl(
     models: Models,
     cad_bank: CadBank,
@@ -96,26 +96,26 @@ def _synthesize_scene_impl(
     perception,
     meter_coords: jnp.ndarray,
     intrinsic: jnp.ndarray,
-    vis_scale: float,
+    vis_res: int,
     spec: tuple,
 ) -> SceneResult:
     geom = _geometry_core(
-        models, cad_bank, frame, perception, meter_coords, intrinsic, vis_scale
+        models, cad_bank, frame, perception, meter_coords, intrinsic, vis_res
     )
     return _generate_core(models, frame, background, geom, perception.cad_idx)
 
 
 def _scene_geometry(models, cad_bank, frame, perception, meter_coords, intrinsic,
-                    vis_scale: float = 1.0):
+                    vis_res: int = 192):
     return _scene_geometry_impl(
         models, cad_bank, frame, perception, meter_coords, intrinsic,
-        vis_scale=vis_scale, spec=stages.spec_key(),
+        vis_res=vis_res, spec=stages.spec_key(),
     )
 
 
-@partial(jax.jit, static_argnames=("vis_scale", "spec"))
+@partial(jax.jit, static_argnames=("vis_res", "spec"))
 def _scene_geometry_impl(models, cad_bank, frame, perception, meter_coords,
-                         intrinsic, vis_scale, spec):
+                         intrinsic, vis_res, spec):
     """Stage A of the staged scene runner: everything up to (and excluding) the
     generators — PnP, rollout, per-step rendering, visibility, polygons, and the
     per-vehicle source tables/priors. Splitting here bounds remote-compile units
@@ -123,15 +123,12 @@ def _scene_geometry_impl(models, cad_bank, frame, perception, meter_coords,
     changes and vice versa. The monolithic scene jit runs the SAME core, so
     staged == monolith by construction (test_pipeline pins it)."""
     return _geometry_core(
-        models, cad_bank, frame, perception, meter_coords, intrinsic, vis_scale
+        models, cad_bank, frame, perception, meter_coords, intrinsic, vis_res
     )
 
 
 def _geometry_core(models, cad_bank, frame, perception, meter_coords,
-                   intrinsic, vis_scale):
-    h, w = frame.shape[0], frame.shape[1]
-    vis_hw = (int(h * vis_scale), int(w * vis_scale))
-
+                   intrinsic, vis_res):
     with jax.named_scope("fusg.pnp"):
         err, rvec, tvec = solve_poses(perception, cad_bank, intrinsic)
         extrinsics = jax.vmap(extrinsic_from_rodrigues)(rvec, tvec)
@@ -155,8 +152,12 @@ def _geometry_core(models, cad_bank, frame, perception, meter_coords,
             with jax.named_scope("fusg.visibility"):
                 kp3d_s = kp3d @ z_rot(theta_s) + tr_s
                 kp2d_s = project_points_extrinsic(kp3d_s, intrinsic, ext)
-                visibility = vis.compute_visibility(
-                    ext, kp2d_s * vis_scale, kp3d_s, vis_hw
+                # Scale-free local raster: area ratios are affine-invariant,
+                # so the vis_res^2 window over the keypoint bbox IS the
+                # frame-resolution computation with better effective resolution
+                # than the frame for typical vehicle sizes (visibility.py).
+                visibility = vis.compute_visibility_local(
+                    ext, kp2d_s, kp3d_s, res=vis_res
                 )
                 polys = jnp.trunc(kp2d_s)[jnp.asarray(vis.TEXTURE_PLANES)]
             return sketch, veh_mask, window, visibility[:5], polys
@@ -280,7 +281,7 @@ def _generate_core(models, frame, background, geom, cad_idx):
 
 
 def synthesize_scene_staged(models, cad_bank, frame, background, perception,
-                            meter_coords, intrinsic, vis_scale: float = 1.0):
+                            meter_coords, intrinsic, vis_res: int = 192):
     """:func:`synthesize_scene` split into two jits (geometry | generators).
 
     Same math and outputs (equivalence-tested); trades one HBM round trip of the
@@ -291,14 +292,14 @@ def synthesize_scene_staged(models, cad_bank, frame, background, perception,
     """
     geom = _scene_geometry(
         models, cad_bank, frame, perception, meter_coords, intrinsic,
-        vis_scale=vis_scale,
+        vis_res=vis_res,
     )
     return _scene_generate(models, frame, background, geom, perception.cad_idx)
 
 
 def synthesize_scene_sharded(
     models, cad_bank, frame, background, perception, meter_coords, intrinsic,
-    mesh, vis_scale: float = 1.0,
+    mesh, vis_res: int = 192,
 ):
     """Run :func:`synthesize_scene` with the vehicle axis sharded over the mesh's
     'data' axis (jax.sharding). Per-vehicle work (PnP, rendering, plane warps,
@@ -327,7 +328,7 @@ def synthesize_scene_sharded(
     cad_bank = jax.tree.map(lambda p: jax.device_put(p, repl), cad_bank)
     return synthesize_scene(
         models, cad_bank, frame, background, perception, meter_coords, intrinsic,
-        vis_scale=vis_scale,
+        vis_res=vis_res,
     )
 
 

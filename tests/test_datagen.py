@@ -24,7 +24,7 @@ def test_icn_batch_shapes_and_ranges():
     frame = jnp.asarray(np.random.RandomState(0).rand(*FRAME_HW, 3).astype(np.float32))
     sample = datagen.icn_batch(
         jax.random.PRNGKey(0), _bank(), frame, K, batch=2, frame_hw=FRAME_HW,
-        vis_scale=0.25,
+        vis_res=128,
     )
     assert sample.inputs.shape == (2, 256, 256, 21)
     assert sample.targets.shape == (2, 256, 256, 3)
@@ -33,7 +33,7 @@ def test_icn_batch_shapes_and_ranges():
     # Distinct keys give distinct poses.
     s2 = datagen.icn_batch(
         jax.random.PRNGKey(1), _bank(), frame, K, batch=2, frame_hw=FRAME_HW,
-        vis_scale=0.25,
+        vis_res=128,
     )
     assert not np.allclose(np.asarray(sample.inputs), np.asarray(s2.inputs))
 
@@ -42,7 +42,7 @@ def test_vunet_batch_shapes():
     frame = jnp.asarray(np.random.RandomState(1).rand(*FRAME_HW, 3).astype(np.float32))
     s = datagen.vunet_batch(
         jax.random.PRNGKey(0), _bank(), frame, K, batch=2, frame_hw=FRAME_HW,
-        vis_scale=0.25,
+        vis_res=128,
     )
     assert s.y_tilde.shape == (2, 256, 256, 3)
     assert s.x_app.shape == (2, 256, 256, 6)

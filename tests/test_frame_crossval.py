@@ -426,7 +426,6 @@ def test_traj_test_composite_crossval(ref_traj, tmp_path, monkeypatch):
         result = runner.synthesize_scene(
             models, cad_bank, frame_rgb, bg_rgb, perception,
             jnp.asarray(np.float32(meters)), jnp.asarray(np.float32(K_CAM)),
-            vis_scale=1.0,
         )
     finally:
         stages.MODEL_SPEC.update(old_spec)

@@ -74,7 +74,7 @@ def test_configure_models_retraces_compiled_scene(tiny_scene):
     try:
         configure_models(warp_plane_res=256, generator_dtype="float32")
         r256 = runner.synthesize_scene(
-            models, cad_bank, frame, frame, perception, meters, K, vis_scale=0.5
+            models, cad_bank, frame, frame, perception, meters, K
         )
         n256 = runner._synthesize_scene_impl._cache_size()
 
@@ -82,7 +82,7 @@ def test_configure_models_retraces_compiled_scene(tiny_scene):
         # argument this silently reused the compiled 256-res program.
         configure_models(warp_plane_res=64)
         r64 = runner.synthesize_scene(
-            models, cad_bank, frame, frame, perception, meters, K, vis_scale=0.5
+            models, cad_bank, frame, frame, perception, meters, K
         )
         n64 = runner._synthesize_scene_impl._cache_size()
         assert n64 == n256 + 1, "warp_plane_res change must retrace the scene jit"
@@ -96,7 +96,7 @@ def test_configure_models_retraces_compiled_scene(tiny_scene):
         # bf16 toggle equally must retrace.
         configure_models(generator_dtype="bfloat16")
         runner.synthesize_scene(
-            models, cad_bank, frame, frame, perception, meters, K, vis_scale=0.5
+            models, cad_bank, frame, frame, perception, meters, K
         )
         assert runner._synthesize_scene_impl._cache_size() == n64 + 1
     finally:

@@ -91,7 +91,7 @@ def test_end_to_end_synthesis(scene):
     result = runner.synthesize_scene(
         scene["models"], scene["cad_bank"], jnp.asarray(scene["frame"]),
         jnp.asarray(scene["background"]), perception, jnp.asarray(np.float32(meters)),
-        jnp.asarray(K), vis_scale=0.5,
+        jnp.asarray(K),
     )
     frames_icn = np.asarray(result.frames_icn)
     frames_vunet = np.asarray(result.frames_vunet)
@@ -146,12 +146,12 @@ def test_fault_barrier_isolates_bad_vehicle(scene):
     ref = runner.synthesize_scene(
         scene["models"], scene["cad_bank"], jnp.asarray(scene["frame"]),
         jnp.asarray(scene["background"]), good, jnp.asarray(np.float32(meters1)),
-        jnp.asarray(K), vis_scale=0.5,
+        jnp.asarray(K),
     )
     both = runner.synthesize_scene(
         scene["models"], scene["cad_bank"], jnp.asarray(scene["frame"]),
         jnp.asarray(scene["background"]), perception2,
-        jnp.asarray(np.float32(meters2)), jnp.asarray(K), vis_scale=0.5,
+        jnp.asarray(np.float32(meters2)), jnp.asarray(K),
     )
     assert np.isfinite(np.asarray(both.frames_icn)).all()
     assert np.isfinite(np.asarray(both.frames_vunet)).all()
@@ -172,8 +172,8 @@ def test_staged_runner_matches_monolith(scene):
         scene["models"], scene["cad_bank"], jnp.asarray(scene["frame"]),
         jnp.asarray(scene["background"]), perception, meters, jnp.asarray(K),
     )
-    fused = runner.synthesize_scene(*args, vis_scale=0.5)
-    staged = runner.synthesize_scene_staged(*args, vis_scale=0.5)
+    fused = runner.synthesize_scene(*args)
+    staged = runner.synthesize_scene_staged(*args)
     # atol 1e-3: the stage boundary materializes f32 intermediates the fused
     # program keeps inside fusions — reassociation wiggles a handful of pixels
     # by ~1e-4.

@@ -71,7 +71,6 @@ def test_cli_headless_end_to_end(dataset, tmp_path):
         "--select-ids", "7", "--frame-id", "1",
         "--output-dir", str(out_dir),
         "--frame-hw", "-1", "-1",  # native 240x320
-        "--vis-scale", "0.5",
     ])
     assert rc == 0
     pngs = sorted(out_dir.rglob("*.png"))
@@ -112,7 +111,6 @@ def test_cli_inpaint_mode_end_to_end(dataset, tmp_path):
         "--select-ids", "7", "--frame-id", "1", "--inpaint",
         "--output-dir", str(out_dir),
         "--frame-hw", "-1", "-1",
-        "--vis-scale", "0.5",
     ])
     assert rc == 0
     pngs = sorted(out_dir.rglob("*.png"))

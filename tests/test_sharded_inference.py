@@ -142,10 +142,10 @@ def test_sharded_scene_matches_unsharded():
     )
 
     args = (models, cad_bank, frame, background, perception, meters, jnp.asarray(k_small))
-    ref = runner.synthesize_scene(*args, vis_scale=0.5)
+    ref = runner.synthesize_scene(*args)
 
     device_mesh = pmesh.make_mesh(data=4, model=1, devices=jax.devices()[:4])
-    sharded = runner.synthesize_scene_sharded(*args, mesh=device_mesh, vis_scale=0.5)
+    sharded = runner.synthesize_scene_sharded(*args, mesh=device_mesh)
 
     np.testing.assert_allclose(
         np.asarray(ref.frames_icn), np.asarray(sharded.frames_icn), atol=2e-3

@@ -30,7 +30,7 @@ def test_stream_runner_pipelines():
         )(key),
     )
     stream = streaming.StreamRunner(
-        models, cad_bank, K, (H, W), n_vehicles=1, n_steps=3, vis_scale=0.5, depth=2
+        models, cad_bank, K, (H, W), n_vehicles=1, n_steps=3, depth=2
     )
 
     rng = np.random.RandomState(0)

@@ -167,7 +167,7 @@ def test_tracking_stream_runner_end_to_end():
     bg = np.zeros((H, W, 3), np.float32) + 0.1
     detector = trk.BackgroundDiffDetector(jnp.asarray(bg), scale=8, min_area_px=100)
     stream = streaming.TrackingStreamRunner(
-        models, cad_bank, K, (H, W), n_vehicles=1, n_steps=3, vis_scale=0.5,
+        models, cad_bank, K, (H, W), n_vehicles=1, n_steps=3,
         depth=1, detector=detector, inv_homography=None, min_track_frames=2,
     )
 

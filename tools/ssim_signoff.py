@@ -73,7 +73,6 @@ def main(argv=None) -> int:
     p.add_argument("--output-dir", type=Path, default=None,
                    help="keep our outputs here (default: temp dir)")
     p.add_argument("--frame-hw", type=int, nargs=2, default=None)
-    p.add_argument("--vis-scale", type=float, default=1.0)
     p.add_argument("--skip-run", action="store_true",
                    help="compare an existing --output-dir without re-running")
     args = p.parse_args(argv)
@@ -88,7 +87,6 @@ def main(argv=None) -> int:
             "--frame-id", str(args.frame_id),
             "--output-dir", str(out_dir),
             "--reference-channel-order",
-            "--vis-scale", str(args.vis_scale),
         ]
         if args.frame_hw:
             cli += ["--frame-hw", str(args.frame_hw[0]), str(args.frame_hw[1])]

@@ -43,7 +43,7 @@ bg_f = jnp.asarray(bg_u8.astype(np.float32) / 255.0)
 detector = trk.BackgroundDiffDetector(bg_f, threshold=0.15, scale=8,
                                       min_area_px=40*40, max_boxes=V)
 stream = streaming.TrackingStreamRunner(
-    models, cad_bank, K, (H, W), n_vehicles=V, n_steps=S, vis_scale=0.5,
+    models, cad_bank, K, (H, W), n_vehicles=V, n_steps=S,
     depth=2, detector=detector, inv_homography=None, min_track_frames=2,
 )
 
