@@ -92,6 +92,46 @@ def _conv_small_cin_matmul(x: jnp.ndarray, kernel: jnp.ndarray, padding: int):
     return xcol @ kmat
 
 
+def _dispatch_conv(x, w, stride: int, padding: int, dilation: int = 1):
+    """Route a conv through the Pallas small-C_in kernel when it wins.
+
+    The Pallas path (ops/pallas_conv.py) applies on TPU for stride-1
+    undilated k>1 convs with C_in <= 32 — the lane-starved stems where
+    `conv_general_dilated` measured 6% MXU utilization (ICN 21-channel 7x7
+    stem: 18 ms -> ~6 ms at batch 24). Everything else (and every CPU trace,
+    where the torch-parity tests run) uses the XLA conv.
+    """
+    k = w.shape[0]
+    # Gate on the kernel's per-dot contraction width k*C: the Pallas kernel
+    # contracts k*C lanes per ky-slice, so k*C must fill a 128-lane tile to
+    # beat XLA (ICN stem: 7*21 = 147 — conv 18 -> 7 ms standalone, ~2 ms net
+    # in the scene after the host-side NCHW transpose and the lost norm-stat
+    # epilogue fusion). Measured exclusions: 3x3 stems with k*C ~ 9-28 are MORE
+    # starved inside the kernel than in XLA's conv (scene 67 -> 60 fps), and
+    # VUNet's 3x3 C=32 convs (k*C = 96) traced vunet_decode 26 -> 44 ms.
+    if (
+        stride == 1
+        and dilation == 1
+        and k > 1
+        and x.shape[-1] <= 32
+        and k * x.shape[-1] >= 128
+        and jax.default_backend() == "tpu"
+    ):
+        from future_urban_scene_generation_tpu.ops.pallas_conv import conv_small_cin
+
+        if padding:
+            x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+        return conv_small_cin(x, w)
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 class TorchConv(nn.Module):
     """torch nn.Conv2d equivalent: zero padding, cross-correlation, bias.
 
@@ -114,13 +154,8 @@ class TorchConv(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (k, k, in_ch, self.features)
         )
-        out = jax.lax.conv_general_dilated(
-            x,
-            kernel.astype(x.dtype),  # mixed precision: compute in the input dtype
-            window_strides=(self.stride, self.stride),
-            padding=((self.padding, self.padding), (self.padding, self.padding)),
-            rhs_dilation=(self.dilation, self.dilation),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        out = _dispatch_conv(
+            x, kernel.astype(x.dtype), self.stride, self.padding, self.dilation
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -326,13 +361,7 @@ class WNConv(nn.Module):
         norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1, 2), keepdims=True) + 1e-24)
         w = (v / norm * g).astype(x.dtype)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        out = jax.lax.conv_general_dilated(
-            x,
-            w,
-            window_strides=(self.stride, self.stride),
-            padding=((self.padding, self.padding), (self.padding, self.padding)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        out = _dispatch_conv(x, w, self.stride, self.padding)
         return out + bias.astype(out.dtype)
 
 

@@ -1,0 +1,108 @@
+"""Pallas TPU kernel for small-input-channel stride-1 convolutions.
+
+Why: `lax.conv_general_dilated` runs lane-starved when C_in is far below 128 —
+the ICN's 21-channel 7x7 stem traced at 18 ms (6% MXU) of a 59 ms batch-24
+forward, and every generator stem (VUNet 3/6ch, EdgeConnect 3-4ch, VGG 3ch) has
+the same shape problem. The standard fix is an im2col matmul whose contraction
+dim is k²·C (1029 for the ICN stem), but materializing the k²-size im2col in
+HBM loses more than it gains (measured: ICN 59 -> 91 ms — see
+models/layers._conv_small_cin_matmul).
+
+This kernel builds the im2col **in VMEM**, where the k² blowup never touches
+HBM. Layout choices are driven by Mosaic's vector-layout rules (lane-dim
+reshapes must stay 128-aligned, so NHWC channel unpacking is out):
+
+* the input arrives channels-major (N, C, Hp, Wp): width is the lane dim, so a
+  (ky, kx) tap is a plain sublane/lane slice (C, rows, w_out) — no reshape;
+* the 49 tap slices concatenate along the MAJOR axis into A = (k²C, rows,
+  w_out), entirely in VMEM (~4 MB for the ICN stem tile);
+* per output row, `dot_general` contracts A[:, r, :] over its major dim with
+  the (k²C, O) kernel matrix: contraction length k²C keeps the MXU lanes full
+  (vs C/128 for the direct conv), f32 accumulation, cast on store.
+
+Scope: stride 1, no dilation, pre-padded input (Conv2dBlock applies its own
+reflect/zero padding first), C_in small (the win disappears once C_in ~ 128).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _conv_kernel(x_ref, k_ref, o_ref, *, kk: int, cin: int, w_out: int,
+                 rows: int):
+    """One (n, row-tile) step.
+
+    x_ref: (1, C, Hp, Wp) channels-major image; k_ref: (kk, kk*C, O) with rows
+    of each k_ref[ky] in (kx, ci) tap order; o_ref: (1, rows*w_out, O).
+
+    VMEM budget note: accumulating per-ky keeps the live im2col slice at
+    (kk*C, rows, w_out) (~0.6 MB for the ICN stem) instead of the full
+    (kk²*C, ...) (~4 MB) — the full-concat variant OOMed VMEM next to the
+    ~4 MB image block.
+    """
+    base = pl.program_id(1) * rows
+    # One sublane-ALIGNED load per tile (dynamic sublane offsets must be
+    # 8-multiples); the ky offsets are then static in-register slices.
+    slab = x_ref[0, :, pl.ds(base, rows + 8), :]  # (C, rows + 8, Wp)
+    acc = jnp.zeros((rows * w_out, k_ref.shape[-1]), jnp.float32)
+    for ky in range(kk):
+        taps = [slab[:, ky:ky + rows, kx:kx + w_out] for kx in range(kk)]
+        a = jnp.concatenate(taps, axis=0)  # (kk*C, rows, w_out)
+        a2 = a.reshape(kk * cin, rows * w_out)  # merge sublane x lane dims
+        acc = acc + jax.lax.dot_general(
+            a2, k_ref[ky],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[0, :, :] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+def conv_small_cin(x: jnp.ndarray, kernel: jnp.ndarray, rows: int = 8,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Stride-1 VALID conv of a pre-padded NHWC input with an HWIO kernel.
+
+    x (N, Hp, Wp, C) -> (N, Hp-k+1, Wp-k+1, O).
+    """
+    n, hp, wp, cin = x.shape
+    kk = kernel.shape[0]
+    cout = kernel.shape[-1]
+    h_out = hp - kk + 1
+    w_out = wp - kk + 1
+
+    pad_h = (-h_out) % rows
+    # The kernel loads (rows + 8) sublanes per tile (aligned-load + in-register
+    # ky shifts); guarantee the last tile's load stays in bounds.
+    extra = max(0, ((h_out + pad_h) - rows) + rows + 8 - (hp + pad_h))
+    if pad_h or extra:
+        x = jnp.pad(x, ((0, 0), (0, pad_h + extra), (0, 0), (0, 0)))
+        hp += pad_h + extra
+    n_tiles = (h_out + pad_h) // rows
+
+    xc = jnp.transpose(x, (0, 3, 1, 2))  # (N, C, Hp, Wp) — lanes = width
+    # kernel (ky, kx, ci, o) -> (ky, kx*ci, o): per-ky matrices whose row order
+    # matches the kx-major tap concatenation above.
+    kmat = kernel.reshape(kk, kk * cin, cout).astype(x.dtype)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _conv_kernel, kk=kk, cin=cin, w_out=w_out, rows=rows
+        ),
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, cin, hp, wp), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((kk, kk * cin, cout), lambda i, j: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows * w_out, cout), lambda i, j: (i, j, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, (h_out + pad_h) * w_out, cout), x.dtype
+        ),
+        interpret=interpret,
+    )(xc, kmat)
+    return out.reshape(n, h_out + pad_h, w_out, cout)[:, :h_out]

@@ -208,3 +208,25 @@ def test_small_cin_matmul_conv_matches_lax():
         )
         assert fast.shape == ref.shape
         np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=2e-4)
+
+
+def test_pallas_small_cin_conv_matches_lax():
+    """ops/pallas_conv.conv_small_cin (the TPU stem fast path wired through
+    layers._dispatch_conv) is numerically the same VALID conv — interpret mode
+    on CPU; the TPU path shares the kernel body."""
+    import jax
+
+    from future_urban_scene_generation_tpu.ops.pallas_conv import conv_small_cin
+
+    rng = np.random.RandomState(5)
+    for (n, h, w, c, k, o, rows) in ((2, 22, 26, 21, 7, 16, 8),
+                                     (1, 19, 20, 3, 3, 8, 8),
+                                     (2, 38, 34, 6, 5, 12, 16)):
+        x = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+        kern = jnp.asarray((rng.rand(k, k, c, o) - 0.5).astype(np.float32))
+        got = conv_small_cin(x, kern, rows=rows, interpret=True)
+        ref = jax.lax.conv_general_dilated(
+            x, kern, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Inpaint-mode benchmark (BASELINE config 2: multi-vehicle + EdgeConnect erase).
+
+Measures the full inpaint-request path on one chip at the reference's 720p
+working resolution: segment every (step, vehicle) with the device background-diff
+segmenter, erase all vehicles from all 6 future frames with the two-stage
+EdgeConnect chain (vmap over steps, sequential scan over vehicles — each erase
+sees the previous result, as the reference accumulates), then run the full
+synthesis path (perception -> PnP -> rollout -> render -> warp -> ICN + VUNet ->
+composite) onto the per-step erased backgrounds.
+
+Prints one JSON line with composited frames/s over the whole chain.
+
+    python tools/inpaint_bench.py
+"""
+import os
+import sys
+import time
+import json
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from future_urban_scene_generation_tpu.geometry.projection import (
+        project_points_extrinsic,
+    )
+    from future_urban_scene_generation_tpu.geometry.rotations import x_rot, z_rot
+    from future_urban_scene_generation_tpu.models.detector import (
+        BackgroundDiffSegmenter,
+    )
+    from future_urban_scene_generation_tpu.models.edgeconnect import (
+        EdgeGenerator,
+        InpaintGenerator,
+    )
+    from future_urban_scene_generation_tpu.pipeline import runner, stages
+    from future_urban_scene_generation_tpu.pipeline.inpaint import erase_vehicles
+    from future_urban_scene_generation_tpu.pipeline.stages import configure_models
+    from future_urban_scene_generation_tpu.utils import mesh as mu
+
+    configure_models(generator_dtype="bfloat16", warp_plane_res=128)
+
+    H, W = 720, 1280  # reference working resolution (GUI/app_interface.py:181)
+    V, T = 4, 6
+    K = np.array([[900.0, 0, W / 2], [0, 900.0, H / 2], [0, 0, 1]], np.float32)
+    mesh, kp3d = mu.make_test_car(subdiv=2)
+    cad_bank = runner.build_cad_bank([mesh], [kp3d], scale=5.0)
+    rng = np.random.RandomState(0)
+    static_bg = jnp.asarray(rng.rand(H, W, 3).astype(np.float32) * 0.3)
+
+    bboxes = []
+    for v in range(V):
+        ext = np.eye(4, dtype=np.float32)
+        ext[:3, :3] = np.asarray(
+            x_rot(jnp.float32(-np.pi / 2.4)) @ z_rot(jnp.float32(0.4 + 0.3 * v))
+        )
+        ext[:3, 3] = [(-5 + 3.4 * v), 2.0, 20.0 + 3 * v]
+        kp2d = np.asarray(
+            project_points_extrinsic(
+                cad_bank.keypoints3d[0], jnp.asarray(K), jnp.asarray(ext)
+            )
+        )
+        x0, y0 = kp2d.min(0)
+        x1, y1 = kp2d.max(0)
+        bboxes.append([x0 - 5, y0 - 5, x1 + 5, y1 + 5])
+    bboxes_d = jnp.asarray(np.float32(bboxes))
+
+    t = np.linspace(0, 6.0, T)
+    meters = jnp.asarray(np.float32(np.stack(
+        [np.stack([t * np.cos(0.2 * v), t * np.sin(0.2 * v)], -1) for v in range(V)]
+    )))
+
+    key = jax.random.PRNGKey(0)
+    cadm, hgm, icnm, vunm = stages.Models.modules()
+    dummy = jnp.zeros((1, 256, 256, 3))
+    models = stages.Models(
+        cad_params=jax.jit(cadm.init)(key, dummy),
+        hourglass_params=jax.jit(hgm.init)(key, dummy),
+        icn_params=jax.jit(icnm.init)(key, jnp.zeros((1, 256, 256, 21))),
+        vunet_params=jax.jit(lambda k: vunm.init(
+            {"params": k}, dummy, jnp.zeros((1, 256, 256, 6)), cov=0.0))(key),
+    )
+    edge_params = jax.jit(EdgeGenerator().init)(key, jnp.zeros((1, 256, 256, 3)))
+    inpaint_params = jax.jit(InpaintGenerator().init)(key, jnp.zeros((1, 256, 256, 4)))
+
+    segmenter = BackgroundDiffSegmenter(static_bg)
+
+    seg_all = jax.jit(
+        lambda fs, bs: jax.vmap(lambda f: jax.vmap(lambda b: segmenter(f, b))(bs))(fs)
+    )
+    erase_all = jax.jit(
+        lambda fs, ms: jax.vmap(
+            lambda f, m: erase_vehicles(edge_params, inpaint_params, f, bboxes_d, m)
+        )(fs, ms)
+    )
+
+    def request(frames_steps):  # (T, H, W, 3): current + 5 future frames
+        masks = seg_all(frames_steps, bboxes_d)
+        erased = erase_all(frames_steps, masks)
+        return runner.run_scene(
+            models, cad_bank, frames_steps[0], erased, bboxes_d, meters,
+            jnp.asarray(K),
+        )
+
+    def make_frames(seed):
+        r = np.random.RandomState(seed)
+        base = np.asarray(static_bg)
+        out = np.stack([base + r.rand(H, W, 3).astype(np.float32) * 0.05
+                        for _ in range(T)])
+        return jnp.asarray(np.clip(out, 0, 1))
+
+    res = request(make_frames(1))
+    _ = float(jnp.sum(res.frames_icn[0, ::64, ::64, 0]))  # warm programs
+
+    iters = 8
+    inputs = [make_frames(2 + i) for i in range(iters)]
+    jax.block_until_ready(inputs)
+    times = []
+    for f in inputs:
+        t0 = time.perf_counter()
+        res = request(f)
+        _ = float(jnp.sum(res.frames_icn[0, ::64, ::64, 0]))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
+    fps = 2 * T / dt
+    print(json.dumps({
+        "metric": "inpaint_mode_composited_720p_frames_per_sec",
+        "value": round(fps, 2), "scene_ms": round(dt * 1e3, 1),
+        "vehicles": V, "steps": T,
+    }))
+
+
+if __name__ == "__main__":
+    main()
