@@ -230,3 +230,25 @@ def test_pallas_small_cin_conv_matches_lax():
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_small_cout_packed_conv_matches_lax():
+    """The row-tap output-packing path for tiny-C_out convs
+    (layers._conv_small_cout_packed — the ICN/EdgeConnect heads on TPU) is
+    numerically the same conv."""
+    import jax
+
+    from future_urban_scene_generation_tpu.models import layers as L
+
+    rng = np.random.RandomState(6)
+    for (n, h, w, c, k, p, o) in ((2, 20, 24, 64, 7, 3, 3), (1, 16, 18, 32, 3, 1, 1),
+                                  (2, 14, 14, 48, 5, 2, 4)):
+        x = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+        kern = jnp.asarray((rng.rand(k, k, c, o) - 0.5).astype(np.float32))
+        got = L._conv_small_cout_packed(x, kern, p)
+        ref = jax.lax.conv_general_dilated(
+            x, kern, (1, 1), ((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4)
