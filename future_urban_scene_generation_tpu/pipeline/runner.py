@@ -166,14 +166,15 @@ def _geometry_core(models, cad_bank, frame, perception, meter_coords,
             theta_v, tr_v
         )
         src_window = jax.tree.map(lambda f: f[0], windows)
-        central_lab = _to_signed_lab(
-            stages._maybe_flip_rgb(central_crop_patch(frame, bbox_window))
-        )
-        src_packed = pack_bilinear_table(
-            stages._to_signed_lab(
-                stages.cr.crop_resize(frame, src_window, stages.SRC_TABLE)
+        with jax.named_scope("fusg.src_table"):
+            central_lab = _to_signed_lab(
+                stages._maybe_flip_rgb(central_crop_patch(frame, bbox_window))
             )
-        ).astype(stages._generator_dtype())
+            src_packed = pack_bilinear_table(
+                stages._to_signed_lab(
+                    stages.cr.crop_resize(frame, src_window, stages.SRC_TABLE)
+                )
+            ).astype(stages._generator_dtype())
         win_fields = (windows.x_start, windows.y_start, windows.w, windows.h)
         src_win_fields = (src_window.x_start, src_window.y_start,
                           src_window.w, src_window.h)
