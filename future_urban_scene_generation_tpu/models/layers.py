@@ -153,6 +153,11 @@ def _dispatch_conv(x, w, stride: int, padding: int, dilation: int = 1):
         if padding:
             x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
         return conv_small_cin(x, w)
+    # Output packing applies only to genuinely tiny C_out heads: relaxing the
+    # gate to k*C_out <= 128 (capturing VUNet's 3x3 C_out=32 residual convs)
+    # measured NO win (71.3 vs 73.5 fps) — those convs are input-bound at
+    # C_in=64 and the extra k*C_out-channel tap tensor costs more than the
+    # output-lane gain.
     if (
         stride == 1
         and dilation == 1
