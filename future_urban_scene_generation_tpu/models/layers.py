@@ -162,7 +162,7 @@ def _dispatch_conv(x, w, stride: int, padding: int, dilation: int = 1):
         stride == 1
         and dilation == 1
         and k > 1
-        and w.shape[-1] <= 8
+        and w.shape[-1] <= 12
         and x.shape[-1] >= 32
         and jax.default_backend() == "tpu"
     ):
