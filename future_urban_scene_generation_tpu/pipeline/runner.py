@@ -253,9 +253,12 @@ def _generate_core(models, frame, background, geom, cad_idx):
     # compositing selects (ops/crop.stitch uses jnp.where on the mask), and a
     # non-finite vehicle-step's mask is forced all-false here — its values are
     # never selected, and select_n does not propagate unselected NaNs.
-    finite_ok = jnp.isfinite(jnp.sum(icn_crops, axis=(2, 3, 4))) & jnp.isfinite(
-        jnp.sum(vunet_crops, axis=(2, 3, 4))
-    )
+    # Spatial-first reduction: a single (2,3,4) reduce includes the lane dim at
+    # full tensor size and traced at 4.6 ms; reducing (2,3) first keeps lanes
+    # and the residual (V, S, 3) sum is trivial.
+    finite_ok = jnp.isfinite(
+        jnp.sum(jnp.sum(icn_crops, axis=(2, 3)), axis=-1)
+    ) & jnp.isfinite(jnp.sum(jnp.sum(vunet_crops, axis=(2, 3)), axis=-1))
     window_ok = (win_fields[2] > 1.0) & (win_fields[3] > 1.0)
     pose_ok = jnp.isfinite(err)[:, None]
     ok = (finite_ok & window_ok & pose_ok)[:, :, None, None]

@@ -516,7 +516,11 @@ def composite_step(background, crops, windows, masks):
 
     with jax.named_scope("fusg.composite"):
         win_tuple = (windows.x_start, windows.y_start, windows.w, windows.h)
-        out, _ = jax.lax.scan(body, background, (crops, win_tuple, masks))
+        # Full unroll: V is small and static; the rolled scan's while-loop
+        # machinery showed up as unattributed wrapper time in traces.
+        out, _ = jax.lax.scan(
+            body, background, (crops, win_tuple, masks), unroll=True
+        )
     return out
 
 
