@@ -146,6 +146,11 @@ def _dispatch_conv(x, w, stride: int, padding: int, dilation: int = 1):
         and k > 1
         and x.shape[-1] <= 32
         and k * x.shape[-1] >= 128
+        # bf16 only: the kernel's VMEM budget (channels-major image block +
+        # per-ky im2col + f32 accumulator) fits at ~9 MB in bf16 but OOMs the
+        # 16 MB scoped-vmem limit in f32 at batch > 1 (found by the f32 demo:
+        # 18.28M requested). f32 mode keeps the XLA conv.
+        and x.dtype == jnp.bfloat16
         and jax.default_backend() == "tpu"
     ):
         from future_urban_scene_generation_tpu.ops.pallas_conv import conv_small_cin
