@@ -123,7 +123,21 @@ def _conv_small_cout_packed(x, w, padding: int):
     return out
 
 
-def _dispatch_conv(x, w, stride: int, padding: int, dilation: int = 1):
+def _pallas_kernels_enabled() -> bool:
+    """MODEL_SPEC gate for opaque Pallas fast paths (lazy import: stages sits
+    above this module in the layering, so read its spec dict at trace time
+    only). synthesize_scene_sharded disables it: pallas_call lowers to a
+    custom call with no SPMD sharding rule, so under a NamedSharding-driven
+    mesh it could fail to partition or silently replicate."""
+    try:
+        from future_urban_scene_generation_tpu.pipeline.stages import MODEL_SPEC
+
+        return bool(MODEL_SPEC.get("pallas_kernels", True))
+    except Exception:
+        return True
+
+
+def _dispatch_conv_impl(x, w, stride: int, padding: int, dilation: int = 1):
     """Route a conv through the Pallas small-C_in kernel when it wins.
 
     The Pallas path (ops/pallas_conv.py) applies on TPU for stride-1
@@ -144,6 +158,10 @@ def _dispatch_conv(x, w, stride: int, padding: int, dilation: int = 1):
         stride == 1
         and dilation == 1
         and k > 1
+        # The kernel's fixed rows+8 VMEM slab supports taps up to k = 9; the
+        # gate below would otherwise admit e.g. an 11x11 C_in=12 conv
+        # (k*C = 132) whose ky tap slices fall off the slab at trace time.
+        and k <= 9
         and x.shape[-1] <= 32
         and k * x.shape[-1] >= 128
         # bf16 only: the kernel's VMEM budget (channels-major image block +
@@ -152,6 +170,7 @@ def _dispatch_conv(x, w, stride: int, padding: int, dilation: int = 1):
         # 18.28M requested). f32 mode keeps the XLA conv.
         and x.dtype == jnp.bfloat16
         and jax.default_backend() == "tpu"
+        and _pallas_kernels_enabled()
     ):
         from future_urban_scene_generation_tpu.ops.pallas_conv import conv_small_cin
 
@@ -172,6 +191,10 @@ def _dispatch_conv(x, w, stride: int, padding: int, dilation: int = 1):
         and jax.default_backend() == "tpu"
     ):
         return _conv_small_cout_packed(x, w, padding)
+    return _xla_conv(x, w, stride, padding, dilation)
+
+
+def _xla_conv(x, w, stride: int, padding: int, dilation: int = 1):
     return jax.lax.conv_general_dilated(
         x,
         w,
@@ -180,6 +203,33 @@ def _dispatch_conv(x, w, stride: int, padding: int, dilation: int = 1):
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+
+
+from functools import partial as _partial  # noqa: E402 — local alias
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _dispatch_conv(x, w, stride: int, padding: int, dilation: int = 1):
+    """_dispatch_conv_impl with a custom VJP: pl.pallas_call has no JVP/VJP
+    rule, and every trainer differentiates TorchConv/WNConv (value_and_grad in
+    pipeline/training.py), so bf16 TPU training would otherwise fail at trace
+    time on any gated stem conv. The backward pass is the XLA conv's own VJP —
+    the Pallas forward is value-equivalent (parity-tested), so the gradients
+    are the gradients of the same function."""
+    return _dispatch_conv_impl(x, w, stride, padding, dilation)
+
+
+def _dispatch_conv_fwd(x, w, stride, padding, dilation):
+    return _dispatch_conv(x, w, stride, padding, dilation), (x, w)
+
+
+def _dispatch_conv_bwd(stride, padding, dilation, residuals, g):
+    x, w = residuals
+    _, vjp = jax.vjp(lambda x_, w_: _xla_conv(x_, w_, stride, padding, dilation), x, w)
+    return vjp(g)
+
+
+_dispatch_conv.defvjp(_dispatch_conv_fwd, _dispatch_conv_bwd)
 
 
 class TorchConv(nn.Module):

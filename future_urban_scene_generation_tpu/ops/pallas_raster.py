@@ -2,19 +2,38 @@
 
 The XLA-level rasterizer (render/rasterizer.py) materializes (chunk, H, W) edge
 fields and argmins over them — ~10 ms per 256² render of a ~400-triangle mesh.
-This kernel brings that to sub-millisecond by:
+This kernel replaces it on the serving path (the reference renders with a
+windowed Open3D GL pass per vehicle per step, warp_learn/render_open3d.py:29-50)
+and is built to survive real CAD mesh density:
 
-* precomputing, per triangle, the AFFINE screen planes of its barycentrics
-  (w_k(x, y) = A x + B y + C — the edge functions divided by signed area), of its
-  interpolated depth, and of its interpolated RGB (all vectorized XLA prep work);
-* iterating triangles inside the kernel with a per-tile z-buffer carried in vector
-  registers, so nothing of size (T, H, W) ever exists;
-* skipping triangles whose screen bbox misses the current tile (lax.cond on scalars),
-  which removes most of the per-tile work for meshes of small triangles.
+* prep (vectorized XLA) computes, per triangle, the AFFINE screen planes of its
+  barycentrics (w_k(x, y) = A x + B y + C — edge functions divided by signed
+  area), of its interpolated depth and RGB, and packs them GROUP-major: 8
+  triangles form a group whose 7 planes × 8 triangles live in a (56, 8) matrix
+  of (A, B, C, 0…) rows, plus a group screen bbox;
+* the kernel evaluates a whole group with ONE small MXU matmul against the
+  tile's (x, y, 1) pixel basis — no per-triangle scalar loads or branches,
+  which measured at ~130 ns (skip) / ~430 ns (hit) per triangle per tile in
+  the scalar-loop design and dominated everything;
+* depth/color merging is branch-free in a STACKED register carry: sublane k
+  holds a partial z/r/g/b buffer over triangles with index ≡ k (mod 8), so a
+  group merge is 5 elementwise ops with no cross-sublane reduction; the 8
+  partials resolve to one buffer once per tile, in XLA, after the kernel;
+* triangles stream from HBM in 128-triangle chunks (grid = tiles_y × tiles_x ×
+  chunks, chunk innermost; stacked carries persist in VMEM scratch across chunk
+  steps), so VMEM is O(chunk) — independent of the triangle count. The previous
+  revision kept per-triangle tables VMEM-resident (with lane-padded 4/24-wide
+  trailing dims), which blew the 16 MB scoped-VMEM limit at ~6k triangles;
+* chunks and groups are culled by screen bbox (scalar SMEM/VMEM tests). Meshes
+  sorted by utils.mesh.spatial_sort_triangles (applied in
+  runner.build_cad_bank) give tight chunk/group bboxes, so most (tile, chunk)
+  pairs skip wholesale.
 
-Coverage and depth-test semantics match render/rasterizer.py exactly (first triangle
-wins depth ties; behind-camera and degenerate triangles dropped), which the tests
-assert pixel-for-pixel.
+Semantics match render/rasterizer.py: behind-camera and degenerate triangles
+dropped, strictly-closer depth test. Depth TIES between distinct coincident
+triangles resolve by averaging instead of first-in-buffer-order (ties at shared
+mesh edges interpolate the same vertex colors either way, so images agree to
+float eps; the tests budget a small fraction of differing pixels).
 """
 from __future__ import annotations
 
@@ -29,20 +48,27 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e30
 TILE_H = 32
 TILE_W = 128
-# Coefficient layout per triangle (padded to 24 for lane alignment):
-#  0: 8  w0/w1/w2 planes (A, B, C each) — coverage + barycentrics
-#  9:11  z plane
-# 12:20  r/g/b planes
-# 21:23  unused
-N_COEF = 24
+_TILE_PIX = TILE_H * TILE_W
+GROUP = 8  # triangles per vectorized evaluation (one sublane each)
+GROUPS_PER_CHUNK = 16
+CHUNK = GROUP * GROUPS_PER_CHUNK  # 128 triangles per streamed block
+# Per-group packed rows: 7 planes (w0, w1, w2, z, r, g, b) × 8 triangles of
+# (A, B, C, 0, 0, 0, 0, 0), then one bbox row (x0, x1, y0, y1, 0…), then 7
+# zero rows to pad the group to 64 rows (sublane-friendly, power-of-two).
+ROWS_PER_GROUP = 64
+_N_PLANES = 7
+_BBOX_ROW = _N_PLANES * GROUP  # 56
 
 
-def triangle_planes(verts_screen: jnp.ndarray, triangles: jnp.ndarray,
-                    vert_colors: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Vectorized prep: per-triangle affine planes + screen bboxes.
+def triangle_planes(
+    verts_screen: jnp.ndarray, triangles: jnp.ndarray, vert_colors: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Vectorized prep: group-major packed plane table + per-chunk screen bboxes.
 
-    Returns (coefs (T, 24) f32, bboxes (T, 4) f32 as x0, x1, y0, y1). Invalid
-    triangles (degenerate/behind camera) get empty bboxes so every tile skips them.
+    Returns (coefs (n_groups · ROWS_PER_GROUP, 8) f32, chunk_bbox (n_chunks, 4)
+    f32). Triangles pad up to a CHUNK multiple; invalid triangles (degenerate /
+    behind camera / padding) get a constant −1 coverage plane (never covered)
+    and empty bboxes, so group/chunk culls skip them.
     """
     v0 = verts_screen[triangles[:, 0]]
     v1 = verts_screen[triangles[:, 1]]
@@ -86,80 +112,161 @@ def triangle_planes(verts_screen: jnp.ndarray, triangles: jnp.ndarray,
     ga, gb, gc = interp_plane(c0[:, 1], c1[:, 1], c2[:, 1])
     ba, bb, bc = interp_plane(c0[:, 2], c1[:, 2], c2[:, 2])
 
-    # Invalid triangles: coverage plane constant -1 (never covered).
+    # Invalid triangles: coverage plane constant −1 (never covered).
     neg1 = jnp.full_like(w0c, -1.0)
     zero = jnp.zeros_like(w0c)
     w0a = jnp.where(valid, w0a, zero)
     w0b = jnp.where(valid, w0b, zero)
     w0c = jnp.where(valid, w0c, neg1)
 
-    coefs = jnp.stack(
-        [w0a, w0b, w0c, w1a, w1b, w1c, w2a, w2b, w2c,
-         za, zb, zc, ra, rb, rc, ga, gb, gc, ba, bb, bc,
-         zero, zero, zero],
-        axis=1,
-    ).astype(jnp.float32)
-
     xs = jnp.stack([v0[:, 0], v1[:, 0], v2[:, 0]], 1)
     ys = jnp.stack([v0[:, 1], v1[:, 1], v2[:, 1]], 1)
-    empty = jnp.where(valid, 0.0, -1.0)
-    bboxes = jnp.stack(
+    bx0 = jnp.where(valid, jnp.min(xs, 1), _BIG)
+    bx1 = jnp.where(valid, jnp.max(xs, 1), -_BIG)
+    by0 = jnp.where(valid, jnp.min(ys, 1), _BIG)
+    by1 = jnp.where(valid, jnp.max(ys, 1), -_BIG)
+
+    # (T, 7 planes, 3 coefs)
+    per_tri = jnp.stack(
         [
-            jnp.min(xs, 1), jnp.max(xs, 1) + empty * _BIG,
-            jnp.min(ys, 1), jnp.max(ys, 1) + empty * _BIG,
+            jnp.stack([w0a, w0b, w0c], -1),
+            jnp.stack([w1a, w1b, w1c], -1),
+            jnp.stack([w2a, w2b, w2c], -1),
+            jnp.stack([za, zb, zc], -1),
+            jnp.stack([ra, rb, rc], -1),
+            jnp.stack([ga, gb, gc], -1),
+            jnp.stack([ba, bb, bc], -1),
         ],
         axis=1,
     ).astype(jnp.float32)
-    return coefs, bboxes
+    bbox = jnp.stack([bx0, bx1, by0, by1], axis=1).astype(jnp.float32)
+
+    t_total = per_tri.shape[0]
+    pad = (-t_total) % CHUNK
+    pad_tri = jnp.zeros((1, _N_PLANES, 3), jnp.float32).at[0, 0, 2].set(-1.0)
+    per_tri = jnp.concatenate(
+        [per_tri, jnp.broadcast_to(pad_tri, (pad, _N_PLANES, 3))], axis=0
+    )
+    pad_bbox = jnp.asarray([[_BIG, -_BIG, _BIG, -_BIG]], jnp.float32)
+    bbox = jnp.concatenate([bbox, jnp.broadcast_to(pad_bbox, (pad, 4))], axis=0)
+    t_pad = t_total + pad
+    n_groups = t_pad // GROUP
+
+    # Pack: (n_groups, 7, 8, 3) -> lane-pad to 8 -> plane rows, then bbox row
+    # and zero padding rows to ROWS_PER_GROUP.
+    grouped = per_tri.reshape(n_groups, GROUP, _N_PLANES, 3).transpose(0, 2, 1, 3)
+    grouped = jnp.pad(grouped, ((0, 0), (0, 0), (0, 0), (0, 8 - 3)))
+    plane_rows = grouped.reshape(n_groups, _N_PLANES * GROUP, 8)
+    gb = bbox.reshape(n_groups, GROUP, 4)
+    group_bbox = jnp.stack(
+        [gb[:, :, 0].min(1), gb[:, :, 1].max(1), gb[:, :, 2].min(1), gb[:, :, 3].max(1)],
+        axis=1,
+    )
+    bbox_row = jnp.pad(group_bbox[:, None, :], ((0, 0), (0, 0), (0, 8 - 4)))
+    zero_rows = jnp.zeros(
+        (n_groups, ROWS_PER_GROUP - _BBOX_ROW - 1, 8), jnp.float32
+    )
+    coefs = jnp.concatenate([plane_rows, bbox_row, zero_rows], axis=1).reshape(
+        n_groups * ROWS_PER_GROUP, 8
+    )
+
+    cb = group_bbox.reshape(-1, GROUPS_PER_CHUNK, 4)
+    chunk_bbox = jnp.stack(
+        [cb[:, :, 0].min(1), cb[:, :, 1].max(1), cb[:, :, 2].min(1), cb[:, :, 3].max(1)],
+        axis=1,
+    )
+    return coefs, chunk_bbox
 
 
-def _kernel(coefs_ref, bbox_ref, img_ref, z_ref, *, n_tris: int):
+def _kernel(cbbox_ref, coefs_ref, zs_ref, rs_ref, gs_ref, bs_ref,
+            zbuf8, r8, g8, b8):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
+    c = pl.program_id(2)
+    n_chunks = pl.num_programs(2)
     y0 = (ti * TILE_H).astype(jnp.float32)
     x0 = (tj * TILE_W).astype(jnp.float32)
-    ys = y0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
-    xs = x0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
 
-    def body(t, carry):
-        zbuf, r, g, b = carry
+    @pl.when(c == 0)
+    def _():
+        zbuf8[:, :] = jnp.full((GROUP, _TILE_PIX), _BIG, jnp.float32)
+        r8[:, :] = jnp.zeros((GROUP, _TILE_PIX), jnp.float32)
+        g8[:, :] = jnp.zeros((GROUP, _TILE_PIX), jnp.float32)
+        b8[:, :] = jnp.zeros((GROUP, _TILE_PIX), jnp.float32)
 
-        bx0 = bbox_ref[t, 0]
-        bx1 = bbox_ref[t, 1]
-        by0 = bbox_ref[t, 2]
-        by1 = bbox_ref[t, 3]
-        overlap = (
-            (bx1 >= x0) & (bx0 <= x0 + (TILE_W - 1))
-            & (by1 >= y0) & (by0 <= y0 + (TILE_H - 1))
+    chunk_overlap = (
+        (cbbox_ref[c, 1] >= x0) & (cbbox_ref[c, 0] <= x0 + (TILE_W - 1))
+        & (cbbox_ref[c, 3] >= y0) & (cbbox_ref[c, 2] <= y0 + (TILE_H - 1))
+    )
+
+    @pl.when(chunk_overlap)
+    def _():
+        # Pixel basis rows: x, y, 1, 0… — flattened tile pixels on lanes
+        # (pixel p = local_y * TILE_W + local_x).
+        si = jax.lax.broadcasted_iota(jnp.int32, (8, _TILE_PIX), 0)
+        p = jax.lax.broadcasted_iota(jnp.int32, (8, _TILE_PIX), 1)
+        xs = x0 + (p % TILE_W).astype(jnp.float32)
+        ys = y0 + (p // TILE_W).astype(jnp.float32)
+        basis = jnp.where(
+            si == 0, xs, jnp.where(si == 1, ys, jnp.where(si == 2, 1.0, 0.0))
         )
 
-        def hit(carry):
-            zbuf, r, g, b = carry
-            w0 = coefs_ref[t, 0] * xs + coefs_ref[t, 1] * ys + coefs_ref[t, 2]
-            w1 = coefs_ref[t, 3] * xs + coefs_ref[t, 4] * ys + coefs_ref[t, 5]
-            w2 = coefs_ref[t, 6] * xs + coefs_ref[t, 7] * ys + coefs_ref[t, 8]
-            covered = (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
-            z = coefs_ref[t, 9] * xs + coefs_ref[t, 10] * ys + coefs_ref[t, 11]
-            closer = covered & (z < zbuf)
-            zbuf = jnp.where(closer, z, zbuf)
-            r = jnp.where(closer, coefs_ref[t, 12] * xs + coefs_ref[t, 13] * ys + coefs_ref[t, 14], r)
-            g = jnp.where(closer, coefs_ref[t, 15] * xs + coefs_ref[t, 16] * ys + coefs_ref[t, 17], g)
-            b = jnp.where(closer, coefs_ref[t, 18] * xs + coefs_ref[t, 19] * ys + coefs_ref[t, 20], b)
-            return zbuf, r, g, b
+        def group_body(g, carry):
+            zbuf, r, gc_, b = carry
+            base = g * ROWS_PER_GROUP
+            overlap = (
+                (coefs_ref[base + _BBOX_ROW, 1] >= x0)
+                & (coefs_ref[base + _BBOX_ROW, 0] <= x0 + (TILE_W - 1))
+                & (coefs_ref[base + _BBOX_ROW, 3] >= y0)
+                & (coefs_ref[base + _BBOX_ROW, 2] <= y0 + (TILE_H - 1))
+            )
 
-        return jax.lax.cond(overlap, hit, lambda c: c, carry)
+            def hit(carry):
+                zbuf, r, gc_, b = carry
+                # Split matmul by precision need: coverage + depth planes
+                # (rows 0..31) exactly — the default MXU precision flips
+                # edge-pixel coverage signs, visibly perturbing the silhouette
+                # mask the pipeline composites by — while the color planes
+                # (rows 32..55) tolerate bf16-pass rounding (< 1e-3, invisible).
+                geo = jax.lax.dot_general(
+                    coefs_ref[pl.ds(base, 4 * GROUP), :], basis,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (32, TILE_PIX): w0, w1, w2, z
+                col = jax.lax.dot_general(
+                    coefs_ref[pl.ds(base + 4 * GROUP, 3 * GROUP), :], basis,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (24, TILE_PIX): r, g, b
+                w0 = geo[0 * GROUP:1 * GROUP]
+                w1 = geo[1 * GROUP:2 * GROUP]
+                w2 = geo[2 * GROUP:3 * GROUP]
+                zv = geo[3 * GROUP:4 * GROUP]
+                covered = (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
+                zc = jnp.where(covered, zv, _BIG)
+                closer = zc < zbuf
+                zbuf = jnp.where(closer, zc, zbuf)
+                r = jnp.where(closer, col[0 * GROUP:1 * GROUP], r)
+                gc_ = jnp.where(closer, col[1 * GROUP:2 * GROUP], gc_)
+                b = jnp.where(closer, col[2 * GROUP:3 * GROUP], b)
+                return zbuf, r, gc_, b
 
-    init = (
-        jnp.full((TILE_H, TILE_W), _BIG, jnp.float32),
-        jnp.zeros((TILE_H, TILE_W), jnp.float32),
-        jnp.zeros((TILE_H, TILE_W), jnp.float32),
-        jnp.zeros((TILE_H, TILE_W), jnp.float32),
-    )
-    zbuf, r, g, b = jax.lax.fori_loop(0, n_tris, body, init)
-    img_ref[:, :, 0] = r
-    img_ref[:, :, 1] = g
-    img_ref[:, :, 2] = b
-    z_ref[:, :] = zbuf
+            return jax.lax.cond(overlap, hit, lambda cr: cr, carry)
+
+        init = (zbuf8[:, :], r8[:, :], g8[:, :], b8[:, :])
+        zbuf, r, gc_, b = jax.lax.fori_loop(0, GROUPS_PER_CHUNK, group_body, init)
+        zbuf8[:, :] = zbuf
+        r8[:, :] = r
+        g8[:, :] = gc_
+        b8[:, :] = b
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        zs_ref[:, :] = zbuf8[:, :]
+        rs_ref[:, :] = r8[:, :]
+        gs_ref[:, :] = g8[:, :]
+        bs_ref[:, :] = b8[:, :]
 
 
 @partial(jax.jit, static_argnames=("out_hw", "interpret"))
@@ -174,26 +281,59 @@ def rasterize_pallas(
     h, w = out_hw
     if h % TILE_H or w % TILE_W:
         raise ValueError(f"output {out_hw} must tile by ({TILE_H}, {TILE_W})")
-    coefs, bboxes = triangle_planes(verts_screen, triangles, vert_colors)
-    n_tris = coefs.shape[0]
+    coefs, chunk_bbox = triangle_planes(verts_screen, triangles, vert_colors)
+    n_chunks = chunk_bbox.shape[0]
+    n_i, n_j = h // TILE_H, w // TILE_W
+    n_tiles = n_i * n_j
 
-    img, zbuf = pl.pallas_call(
-        partial(_kernel, n_tris=n_tris),
-        grid=(h // TILE_H, w // TILE_W),
+    stacked_spec = pl.BlockSpec(
+        (GROUP, _TILE_PIX),
+        lambda i, j, c, nj=n_j: (0, i * nj + j),
+        memory_space=pltpu.VMEM,
+    )
+    stacked_shape = jax.ShapeDtypeStruct((GROUP, n_tiles * _TILE_PIX), jnp.float32)
+    zs, rs, gs, bs = pl.pallas_call(
+        _kernel,
+        grid=(n_i, n_j, n_chunks),
         in_specs=[
-            pl.BlockSpec((n_tris, N_COEF), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tris, 4), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            # Whole chunk-bbox table as unblocked SMEM scalars (n_chunks × 4
+            # floats): blocked SMEM specs hit the (8, 128) divisibility rule.
+            pl.BlockSpec(
+                (n_chunks, 4), lambda i, j, c: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (GROUPS_PER_CHUNK * ROWS_PER_GROUP, 8),
+                lambda i, j, c: (c, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
-        out_specs=(
-            pl.BlockSpec((TILE_H, TILE_W, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((h, w, 3), jnp.float32),
-            jax.ShapeDtypeStruct((h, w), jnp.float32),
-        ),
+        out_specs=(stacked_spec,) * 4,
+        out_shape=(stacked_shape,) * 4,
+        scratch_shapes=[pltpu.VMEM((GROUP, _TILE_PIX), jnp.float32)] * 4,
         interpret=interpret,
-    )(coefs, bboxes)
-    mask_bg = zbuf >= _BIG
+    )(chunk_bbox, coefs)
+
+    # XLA resolution of the 8 sublane-partial buffers (cheap, fuses):
+    # min-depth winner; exact ties average (identical colors at shared edges).
+    def untile(a):  # (8, n_tiles*PIX) -> (8, H, W)
+        return (
+            a.reshape(GROUP, n_i, n_j, TILE_H, TILE_W)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(GROUP, h, w)
+        )
+
+    zs, rs, gs, bs = untile(zs), untile(rs), untile(gs), untile(bs)
+    zmin = jnp.min(zs, axis=0)
+    win = (zs == zmin[None]).astype(jnp.float32)
+    wsum = jnp.sum(win, axis=0)
+    img = jnp.stack(
+        [
+            jnp.sum(rs * win, axis=0) / wsum,
+            jnp.sum(gs * win, axis=0) / wsum,
+            jnp.sum(bs * win, axis=0) / wsum,
+        ],
+        axis=-1,
+    )
+    mask_bg = zmin >= _BIG
     img = jnp.where(mask_bg[..., None], 0.0, img)
     return img, mask_bg

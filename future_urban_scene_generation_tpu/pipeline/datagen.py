@@ -124,10 +124,23 @@ def _icn_batch_impl(
     return ICNSample(xs, ys)
 
 
-@partial(jax.jit, static_argnames=("batch", "frame_hw", "vis_res"))
 def vunet_batch(
     key, cad_bank, frame: jnp.ndarray, intrinsic, batch: int = 4,
     frame_hw=(720, 1280), vis_res: int = 192,
+) -> VunetSample:
+    return _vunet_batch_impl(
+        key, cad_bank, frame, intrinsic, batch=batch, frame_hw=frame_hw,
+        vis_res=vis_res, spec=stages.spec_key(),
+    )
+
+
+# spec: threaded like _icn_batch_impl so any MODEL_SPEC read this trace picks up
+# (today the rasterizer's pallas_kernels gate via _vehicle_views; tomorrow e.g.
+# _maybe_flip_rgb) retraces after configure_models() instead of silently
+# serving a stale program.
+@partial(jax.jit, static_argnames=("batch", "frame_hw", "vis_res", "spec"))
+def _vunet_batch_impl(
+    key, cad_bank, frame: jnp.ndarray, intrinsic, batch, frame_hw, vis_res, spec,
 ) -> VunetSample:
     def one(k):
         src, dst, _ = _vehicle_views(k, cad_bank, intrinsic, frame_hw, vis_res)

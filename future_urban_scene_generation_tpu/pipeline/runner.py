@@ -330,23 +330,37 @@ def synthesize_scene_sharded(
     intrinsic = jax.device_put(intrinsic, repl)
     models = jax.tree.map(lambda p: jax.device_put(p, repl), models)
     cad_bank = jax.tree.map(lambda p: jax.device_put(p, repl), cad_bank)
-    return synthesize_scene(
-        models, cad_bank, frame, background, perception, meter_coords, intrinsic,
-        vis_res=vis_res,
-    )
+    # Pallas fast paths lower to custom calls with no SPMD sharding rule, so
+    # under the mesh they could fail to partition or silently replicate the
+    # vehicle axis; spec_key() threads the flag, so this traces a separate
+    # XLA-only program without disturbing the single-chip compile cache.
+    prev = stages.MODEL_SPEC["pallas_kernels"]
+    stages.MODEL_SPEC["pallas_kernels"] = False
+    try:
+        return synthesize_scene(
+            models, cad_bank, frame, background, perception, meter_coords,
+            intrinsic, vis_res=vis_res,
+        )
+    finally:
+        stages.MODEL_SPEC["pallas_kernels"] = prev
 
 
 def build_cad_bank(meshes, keypoints, scale: float = 5.0) -> CadBank:
     """Pad a list of (TriangleMesh, (12,3) kp) into a CadBank (run_test.py:146-153's
-    x5 vertex scaling applied here)."""
+    x5 vertex scaling applied here). Triangles are Morton-sorted so the Pallas
+    rasterizer's chunk-level tile culling bites at CAD mesh density."""
     import numpy as np
 
-    from future_urban_scene_generation_tpu.utils.mesh import compute_vertex_normals
+    from future_urban_scene_generation_tpu.utils.mesh import (
+        compute_vertex_normals,
+        spatial_sort_triangles,
+    )
 
     v_max = max(len(m.vertices) for m in meshes)
     t_max = max(len(m.triangles) for m in meshes)
     verts, tris, normals, kps = [], [], [], []
     for mesh, kp in zip(meshes, keypoints):
+        mesh = spatial_sort_triangles(mesh)
         n = compute_vertex_normals(mesh)
         v = np.asarray(mesh.vertices, np.float32) * scale
         t = np.asarray(mesh.triangles, np.int32)

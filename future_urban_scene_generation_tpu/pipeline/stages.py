@@ -89,6 +89,12 @@ MODEL_SPEC = {
     # the conv I/O — measured ~40 dB PSNR vs f32 on the generators
     # (tests/test_bf16_inference.py). Perception (hourglass/VGG) stays f32.
     "generator_dtype": "float32",
+    # Opaque Pallas fast paths (stem conv ops/pallas_conv.py, rasterizer
+    # ops/pallas_raster.py). pallas_call lowers to a custom call with no SPMD
+    # sharding rule, so runner.synthesize_scene_sharded disables these under a
+    # NamedSharding mesh (they could fail to partition or silently replicate);
+    # single-chip serving keeps them on.
+    "pallas_kernels": True,
 }
 
 
@@ -234,7 +240,8 @@ def render_vehicle(
     scale = SKETCH_RES / window.w
     cam_crop = cam_full.crop(window.x_start, window.y_start, scale)
     sketch, bg = rz.render_normal_sketch(
-        verts_w, triangles, normals @ rot, extrinsic, cam_crop, (SKETCH_RES, SKETCH_RES)
+        verts_w, triangles, normals @ rot, extrinsic, cam_crop,
+        (SKETCH_RES, SKETCH_RES), allow_pallas=MODEL_SPEC["pallas_kernels"],
     )
     return sketch, jnp.logical_not(bg), window
 

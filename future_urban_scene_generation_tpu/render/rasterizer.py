@@ -150,15 +150,18 @@ def rasterize_auto(
     vert_colors: jnp.ndarray,
     out_hw: Tuple[int, int],
     chunk: int = 128,
+    allow_pallas: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Backend-dispatching rasterizer: the Pallas tile kernel on TPU (pixel-identical,
-    ~20x faster), the chunked XLA path elsewhere."""
+    """Backend-dispatching rasterizer: the Pallas tile kernel on TPU
+    (pixel-identical, ~20x faster), the chunked XLA path elsewhere.
+    ``allow_pallas=False`` forces the XLA path — used when the enclosing
+    computation is mesh-sharded (pallas_call has no SPMD sharding rule)."""
     from future_urban_scene_generation_tpu.ops import pallas_raster
 
     h, w = out_hw
     on_tpu = jax.default_backend() not in ("cpu",)
     tiles_ok = h % pallas_raster.TILE_H == 0 and w % pallas_raster.TILE_W == 0
-    if on_tpu and tiles_ok:
+    if allow_pallas and on_tpu and tiles_ok:
         return pallas_raster.rasterize_pallas(verts_screen, triangles, vert_colors, out_hw)
     return rasterize(verts_screen, triangles, vert_colors, out_hw, chunk)
 
@@ -171,6 +174,7 @@ def render_normal_sketch(
     camera: Camera,
     out_hw: Tuple[int, int],
     chunk: int = 128,
+    allow_pallas: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full normal-sketch render: colors = (n + 1) / 2 (render_open3d.py:37-38).
 
@@ -178,7 +182,7 @@ def render_normal_sketch(
     """
     colors = (vertex_normals + 1.0) / 2.0
     verts_screen = project_vertices(vertices, extrinsic, camera)
-    img, bg = rasterize_auto(verts_screen, triangles, colors, out_hw, chunk)
+    img, bg = rasterize_auto(verts_screen, triangles, colors, out_hw, chunk, allow_pallas)
     # Barycentric interpolation can overshoot by float eps; the reference's uint8
     # conversion clips implicitly (render_open3d.py:47).
     return jnp.clip(img, 0.0, 1.0), bg

@@ -42,6 +42,39 @@ def compute_vertex_normals(mesh: TriangleMesh) -> np.ndarray:
     return vn / np.maximum(vn_norm, 1e-12)
 
 
+def spatial_sort_triangles(mesh: TriangleMesh) -> TriangleMesh:
+    """Reorder triangles along a Morton (Z-order) curve of their centroids.
+
+    Rigid projection preserves neighborhoods, so model-space locality gives
+    screen-space locality for any pose: consecutive triangles land in nearby
+    screen tiles, which makes the Pallas rasterizer's per-chunk screen bboxes
+    tight and lets whole 128-triangle chunks skip tiles they don't touch
+    (ops/pallas_raster.py). Identity on the rendered image up to depth-tie
+    order between distinct coincident triangles.
+    """
+    v = np.asarray(mesh.vertices, np.float64)
+    t = np.asarray(mesh.triangles, np.int64)
+    if len(t) == 0:
+        return mesh
+    cent = (v[t[:, 0]] + v[t[:, 1]] + v[t[:, 2]]) / 3.0
+    lo = cent.min(0)
+    span = np.maximum(cent.max(0) - lo, 1e-12)
+    q = np.minimum((cent - lo) / span * 1024.0, 1023.0).astype(np.uint64)
+
+    def _spread(x):  # interleave bits with two zero gaps (10 -> 30 bits)
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = _spread(q[:, 0]) | (_spread(q[:, 1]) << np.uint64(1)) | (
+        _spread(q[:, 2]) << np.uint64(2)
+    )
+    order = np.argsort(code, kind="stable")
+    return TriangleMesh(mesh.vertices, np.asarray(mesh.triangles)[order])
+
+
 _PLY_TYPES = {
     "char": ("b", 1), "int8": ("b", 1),
     "uchar": ("B", 1), "uint8": ("B", 1),

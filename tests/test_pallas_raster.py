@@ -58,13 +58,47 @@ def test_depth_tie_first_wins():
 
 def test_triangle_planes_bbox():
     verts, tris, colors = _random_scene(10, 8)
-    coefs, bboxes = pr.triangle_planes(verts, tris, colors)
-    assert coefs.shape == (8, pr.N_COEF)
-    assert bboxes.shape == (8, 4)
-    b = np.asarray(bboxes)
-    # Valid triangles have ordered bboxes; degenerate ones get inverted (empty)
-    # bboxes on purpose so every tile's overlap test skips them.
-    ordered = (b[:, 0] <= b[:, 1]) & (b[:, 2] <= b[:, 3])
-    degenerate = np.asarray(coefs)[:, 2] == -1.0  # invalid marker plane C = -1
-    assert np.all(ordered | degenerate)
-    assert ordered.any()
+    coefs, chunk_bbox = pr.triangle_planes(verts, tris, colors)
+    n_groups = pr.CHUNK // pr.GROUP  # 8 triangles pad to one chunk
+    assert coefs.shape == (n_groups * pr.ROWS_PER_GROUP, 8)
+    assert chunk_bbox.shape == (1, 4)
+    c = np.asarray(coefs).reshape(n_groups, pr.ROWS_PER_GROUP, 8)
+    # Group 0 holds the 8 real triangles; its bbox row must be ordered and the
+    # chunk bbox is the union over groups (padding groups have empty bboxes).
+    b0 = c[0, pr._BBOX_ROW, :4]
+    assert b0[0] <= b0[1] and b0[2] <= b0[3]
+    for g in range(1, n_groups):
+        bg = c[g, pr._BBOX_ROW, :4]
+        assert bg[0] > bg[1]  # empty: padding-only group
+        # padding triangles carry the -1 coverage plane (never covered)
+        assert np.all(c[g, :pr.GROUP, 2] == -1.0) or np.all(c[g, 2, 2] == -1.0)
+    cb = np.asarray(chunk_bbox)[0]
+    assert cb[0] == b0[0] and cb[1] == b0[1]
+
+
+def test_multi_chunk_equivalence():
+    # More triangles than one CHUNK: the streamed grid accumulates the z/color
+    # tile across chunk steps; the result must still match the XLA path.
+    verts, tris, colors = _random_scene(n_verts=80, n_tris=pr.CHUNK + 97)
+    img_ref, bg_ref = rz.rasterize(verts, tris, colors, (64, 128))
+    img_pl, bg_pl = pr.rasterize_pallas(verts, tris, colors, (64, 128), interpret=True)
+    assert np.array_equal(np.asarray(bg_ref), np.asarray(bg_pl))
+    d = np.abs(np.asarray(img_ref) - np.asarray(img_pl)).max(-1)
+    assert (d > 1e-4).mean() < 0.005
+
+
+def test_vmap_batched_matches_single():
+    # The pipeline calls the kernel under nested vmaps (vehicles × steps); the
+    # batching rule must keep the per-batch chunk accumulation intact.
+    import jax
+
+    scenes = [_random_scene(20, 12) for _ in range(3)]
+    verts = jnp.stack([s[0] for s in scenes])
+    tris = jnp.stack([s[1] for s in scenes])
+    colors = jnp.stack([s[2] for s in scenes])
+    f = lambda v, t, c: pr.rasterize_pallas(v, t, c, (64, 128), interpret=True)
+    imgs_b, bgs_b = jax.vmap(f)(verts, tris, colors)
+    for k in range(3):
+        img_s, bg_s = f(verts[k], tris[k], colors[k])
+        assert np.array_equal(np.asarray(bgs_b[k]), np.asarray(bg_s))
+        assert np.allclose(np.asarray(imgs_b[k]), np.asarray(img_s))
