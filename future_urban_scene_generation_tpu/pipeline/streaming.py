@@ -51,6 +51,9 @@ class StreamRunner:
         self._inflight: Deque = collections.deque()
         self.depth = depth
         self.latencies: list = []
+        self._t_first_submit: Optional[float] = None
+        self._t_last_drain: Optional[float] = None
+        self._drained = 0
 
     def _pad(self, bboxes, meters):
         """Pad/truncate to the fixed vehicle count (fixed shapes keep the program warm).
@@ -94,8 +97,14 @@ class StreamRunner:
 
     def _drain_one(self):
         t0, result = self._inflight.popleft()
+        if self._t_first_submit is None:
+            self._t_first_submit = t0
+        self._t_first_submit = min(self._t_first_submit, t0)
         jax.block_until_ready(result.frames_icn)
-        self.latencies.append(time.perf_counter() - t0)
+        now = time.perf_counter()
+        self.latencies.append(now - t0)
+        self._t_last_drain = now
+        self._drained += 1
         return result
 
     def flush(self):
@@ -107,13 +116,16 @@ class StreamRunner:
 
     @property
     def throughput_fps(self) -> float:
-        """Composited frames/s over the drained scenes (both branches)."""
-        if not self.latencies:
+        """Composited frames/s over the drained scenes (both branches),
+        measured by WALL CLOCK from the first submission to the last drain.
+        (An earlier revision multiplied by pipeline depth assuming perfect
+        overlap, which could overstate sustained throughput; this matches what
+        tools/stream_bench.py measures, within noise.)"""
+        if not self._drained or self._t_last_drain is None:
             return 0.0
-        # With depth-D pipelining, steady-state rate ~ scenes / total wall time.
-        total = sum(self.latencies)
-        frames = len(self.latencies) * 2 * self.n_steps
-        return frames / max(total / min(self.depth, len(self.latencies)), 1e-9)
+        frames = self._drained * 2 * self.n_steps
+        wall = max(self._t_last_drain - (self._t_first_submit or 0.0), 1e-9)
+        return frames / wall
 
 
 class TrackingStreamRunner(StreamRunner):
