@@ -9,7 +9,12 @@ checkpoint with Orbax, log metrics as JSONL.
       --model icn --steps 200 --batch 8 --out /tmp/icn_run \
       [--resume] [--save-interval 100] [--log-interval 10] [--mesh-model 1]
 
-Models: icn | vunet | edge | hourglass | cad
+Models: icn | vunet | edge | inpaint | hourglass | cad
+
+The inpaint trainer's perceptual/style losses tap VGG19 features
+(edgeconnect/loss.py:45-99); pass --vgg-weights a torch .pth (torchvision vgg19
+state dict or the CAD checkpoint — both carry the trunk) or training optimizes
+those losses against RANDOM features, which the driver warns about loudly.
 """
 from __future__ import annotations
 
@@ -20,7 +25,10 @@ from pathlib import Path
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", required=True,
-                   choices=["icn", "vunet", "edge", "hourglass", "cad"])
+                   choices=["icn", "vunet", "edge", "inpaint", "hourglass", "cad"])
+    p.add_argument("--vgg-weights", type=Path, default=None,
+                   help="torch .pth with a VGG19 trunk (features.N.*) for the "
+                        "inpaint perceptual/style losses")
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-4)
@@ -105,6 +113,19 @@ def main(argv=None):
             gray, edges, masks = datagen.edgeconnect_batch(sub, imgs)
             state, metrics = step_fn(state, gray, edges, masks)
             _maybe_log_save(args, logger, checkpoint, ckpt_path, state, i, metrics)
+    elif args.model == "inpaint":
+        trainer = training.InpaintingModelTrainer(lr=args.lr)
+        vgg_params = _load_vgg_features(args.vgg_weights, key, s)
+        state = trainer.init(key, vgg_params, hw=(s, s))
+        if args.resume and ckpt_path.exists():
+            state = checkpoint.restore(ckpt_path, template=state)
+        step_fn = jax.jit(trainer.train_step)
+        for i in range(int(state.iteration), args.steps):
+            key, sub = jax.random.split(key)
+            images = jax.random.uniform(sub, (args.batch, s, s, 3))
+            _, edges, masks = datagen.edgeconnect_batch(sub, images)
+            state, metrics = step_fn(state, vgg_params, images, edges, masks)
+            _maybe_log_save(args, logger, checkpoint, ckpt_path, state, i, metrics)
     elif args.model == "hourglass":
         from future_urban_scene_generation_tpu.ops.heatmap import heatmaps_from_kpoints
 
@@ -137,6 +158,36 @@ def main(argv=None):
 
     print(f"trained {args.model} for {args.steps} steps; artifacts in {args.out}")
     return 0
+
+
+def _load_vgg_features(path, key, image_size: int):
+    """Pretrained VGG19 trunk for the inpaint losses, or random with a loud warning."""
+    import jax
+    import jax.numpy as jnp
+
+    from future_urban_scene_generation_tpu.models.vgg import (
+        VGG19Features,
+        convert_vgg19_features,
+    )
+
+    if path is not None:
+        import torch
+
+        sd = torch.load(path, map_location="cpu")
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        params = convert_vgg19_features(sd)
+        print(f"loaded pretrained VGG19 features from {path}")
+        return params
+    print(
+        "=" * 72
+        + "\nWARNING: no --vgg-weights given — the inpaint perceptual/style losses"
+        "\nwill be computed against RANDOMLY INITIALIZED VGG19 features. Training"
+        "\nwill 'converge' but the losses are meaningless as fidelity signals."
+        "\nPass --vgg-weights path/to/vgg19.pth (torchvision state dict) for real"
+        "\ntraining (ref: edgeconnect/loss.py:102-224).\n" + "=" * 72
+    )
+    return VGG19Features().init(key, jnp.zeros((1, image_size, image_size, 3)))
 
 
 def _maybe_log_save(args, logger, checkpoint, ckpt_path, state, i, metrics):

@@ -86,6 +86,31 @@ class VGG19Classifier(nn.Module):
         return TorchLinear(self.num_classes, name="classifier_6")(h)
 
 
+def convert_vgg19_features(sd) -> dict:
+    """Convert the conv-trunk slice of a torchvision-style vgg19 state dict into
+    ``VGG19Features`` params.
+
+    Accepts the full torchvision ``vgg19(pretrained=True).state_dict()`` (what the
+    reference's loss VGG loads, edgeconnect/loss.py:102-224), the CAD classifier
+    checkpoint (same trunk), or a bare ``features.*`` dict; an optional
+    ``vgg.``/``module.`` prefix is stripped. Classifier entries are ignored.
+    """
+    from future_urban_scene_generation_tpu.models.convert import convert_state_dict
+
+    feats = {}
+    for k, v in sd.items():
+        for pre in ("module.", "vgg.", ""):
+            if k.startswith(pre + "features."):
+                feats[k[len(pre):]] = v
+                break
+    if not feats:
+        raise ValueError(
+            "state dict has no 'features.N.*' entries — not a VGG19 trunk"
+        )
+    params = convert_state_dict(feats)["params"]
+    return {"params": params}
+
+
 def convert_vgg19_classifier(sd) -> dict:
     """Convert a torchvision-style vgg19 state dict (with 10-way classifier[6])."""
     from future_urban_scene_generation_tpu.models.convert import convert_state_dict
