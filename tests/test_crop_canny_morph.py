@@ -126,7 +126,8 @@ def test_canny_square_edges():
 def test_canny_hysteresis_drops_weak_isolated():
     img = np.zeros((64, 64), np.float32)
     img[20:44, 20:44] = 1.0  # strong square
-    img[50:60, 50:60] = 0.12  # faint square: gradients < high threshold
+    img[50:60, 50:60] = 0.05  # faint square: sobel magnitude ~0.13, between
+    # the low (0.1) and high (0.2) thresholds — weak and isolated
     edges = np.asarray(cn.canny(jnp.asarray(img), sigma=1.0))
     assert edges[18:24, 18:24].any() or edges[18:46, 18:46].any()
     assert not edges[48:62, 48:62].any()
@@ -138,3 +139,57 @@ def test_canny_respects_mask():
     mask[:, :32] = True
     edges = np.asarray(cn.canny(jnp.asarray(img), sigma=1.0, mask=jnp.asarray(mask)))
     assert not edges[:, 36:].any()
+
+
+# --- golden tests vs the independent scipy transcription of skimage's canny ---
+# (skimage itself is not installable here; tests/canny_oracle.py re-derives the
+# published algorithm on scipy.ndimage primitives — see its docstring.)
+
+def _photo(h=96, w=128, seed=3):
+    """Realistic-ish gray image: smooth ramp + disk + rectangle + mild noise."""
+    r = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = 0.3 + 0.3 * xx / w + 0.1 * np.sin(yy / 9.0)
+    img[(yy - h * 0.4) ** 2 + (xx - w * 0.3) ** 2 < 14 ** 2] = 0.85
+    img[int(h * 0.55):int(h * 0.8), int(w * 0.55):int(w * 0.85)] = 0.1
+    img += r.randn(h, w).astype(np.float32) * 0.01
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+def test_canny_matches_skimage_oracle():
+    from canny_oracle import canny_oracle
+
+    img = _photo()
+    for sigma in (1.0, 2.0):
+        ours = np.asarray(cn.canny(jnp.asarray(img), sigma=sigma))
+        ref = canny_oracle(img, sigma=sigma)
+        # f32 FMA ordering can flip boundary-of-threshold pixels; budget 0.2%.
+        disagree = (ours != ref).mean()
+        assert disagree < 0.002, (sigma, disagree, ours.sum(), ref.sum())
+        assert ref.any() and ours.any()
+
+
+def test_canny_masked_matches_skimage_oracle():
+    from canny_oracle import canny_oracle
+
+    img = _photo(seed=5)
+    mask = np.ones(img.shape, bool)
+    mask[20:60, 40:90] = False  # the inpaint hole (inpaint_utils.py:51 shape)
+    ours = np.asarray(cn.canny(jnp.asarray(img), sigma=2.0, mask=jnp.asarray(mask)))
+    ref = canny_oracle(img, sigma=2.0, mask=mask)
+    assert (ours != ref).mean() < 0.002, (ours.sum(), ref.sum())
+    assert not ours[22:58, 42:88].any()
+
+
+def test_canny_vendored_golden():
+    """Frozen fixture (generated once from the oracle) guards BOTH
+    implementations against silent drift."""
+    import pathlib
+
+    fix = pathlib.Path(__file__).parent / "fixtures" / "canny_golden.npz"
+    data = np.load(fix)
+    ours = np.asarray(
+        cn.canny(jnp.asarray(data["image"]), sigma=float(data["sigma"]),
+                 mask=jnp.asarray(data["mask"]))
+    )
+    assert (ours != data["edges"]).mean() < 0.002

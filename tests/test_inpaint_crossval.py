@@ -126,6 +126,13 @@ def test_erase_chain_crossval(ref_inpaint, tmp_path):
     # (two different bilinear chains disagree most there) and unrepresentative
     # of video frames; blur to plausible image statistics.
     gray_tex = _cv.GaussianBlur((rng.rand(H, W) * 255).astype(np.uint8), (0, 0), 2.0)
+    # Real edge structure inside the 1.3x context box but outside the vehicle
+    # mask: the canny input-parity check below needs actual above-threshold
+    # edges (blurred noise alone is sub-threshold at skimage's defaults, and
+    # the precision/recall comparison degenerates on a handful of marginal
+    # threshold-crossers).
+    gray_tex[85:95, 100:115] = 25
+    gray_tex[140:155, 195:212] = 230
     frame_u8 = np.repeat(gray_tex[..., None], 3, axis=2)  # grayscale-symmetric
 
     # Vehicle bbox + elliptical mask in frame coordinates.
