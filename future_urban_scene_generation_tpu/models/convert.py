@@ -77,6 +77,112 @@ def _insert(tree: dict, path: Tuple[str, ...], leaf_name: str, value):
     node[leaf_name] = value
 
 
+def _lookup(tree: dict, path: Tuple[str, ...], leaf_name: str):
+    node = tree
+    for p in path:
+        if p not in node:
+            raise KeyError(f"flax params missing module {'/'.join(path)}")
+        node = node[p]
+    if leaf_name not in node:
+        raise KeyError(f"flax params missing leaf {'/'.join(path)}/{leaf_name}")
+    return np.asarray(node[leaf_name])
+
+
+def export_state_dict(
+    params: dict,
+    template: Dict[str, Sequence[int]],
+    convt_keys: Iterable[str] = (),
+    flatten_linear_key: Optional[str] = None,
+    flatten_linear_chw: Optional[Tuple[int, int, int]] = None,
+) -> Dict[str, np.ndarray]:
+    """The exact inverse of :func:`convert_state_dict`: flax params -> a torch
+    state dict with the reference's key names and layouts, so weights trained in
+    this framework drop into the reference's own ``load_state_dict`` calls
+    (run_test.py:24-89, edgeconnect/models.py:20-52).
+
+    ``template`` maps every torch key the target architecture expects to its
+    tensor shape (see tools/gen_zoo_template.py — generated from the reference's
+    real networks). Spectral-norm triples (``weight_orig``/``weight_u``/
+    ``weight_v``) are reconstituted from the folded flax kernel W by choosing a
+    random unit v and u = Wv / |Wv|^2, which makes the stored sigma
+    u . (W_mat v) exactly 1 — both torch's eval-mode forward and
+    :func:`fold_spectral_norm` then recover W bit-for-bit.
+    """
+    convt_keys = set(convt_keys)
+    tree = params.get("params", params)
+    bn_prefixes = {k[: -len("running_mean")] for k in template
+                   if k.endswith("running_mean")}
+    sn_prefixes = {k[: -len("weight_orig")] for k in template
+                   if k.endswith("weight_orig")}
+    out: Dict[str, np.ndarray] = {}
+
+    for key in template:
+        shape = tuple(int(s) for s in template[key])
+        parts = key.split(".")
+        leaf = parts[-1]
+        path = _merge_path(parts[:-1])
+        module_prefix = key[: -len(leaf)] if leaf else key
+
+        if leaf == "num_batches_tracked":
+            out[key] = np.asarray(0, np.int64)
+            continue
+        if leaf in ("weight_u", "weight_v") and module_prefix in sn_prefixes:
+            continue  # emitted alongside weight_orig below
+        if leaf == "weight_orig":
+            w_flax = _lookup(tree, path, "kernel")
+            if module_prefix + "weight" in convt_keys or key in convt_keys:
+                w = w_flax.transpose(2, 3, 0, 1)  # (kh,kw,in,out)->(in,out,kh,kw)
+                w_mat = np.moveaxis(w, 1, 0).reshape(w.shape[1], -1)  # torch dim=1
+            else:
+                w = w_flax.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+                w_mat = w.reshape(w.shape[0], -1)
+            rs = np.random.RandomState(abs(hash(key)) % (2**31))
+            v = rs.randn(w_mat.shape[1]).astype(np.float64)
+            v /= np.linalg.norm(v)
+            z = w_mat.astype(np.float64) @ v
+            u = z / float(z @ z)  # => u . (W_mat v) == 1, sigma == 1
+            out[key] = w.astype(np.float32)
+            out[module_prefix + "weight_u"] = u.astype(np.float32)
+            out[module_prefix + "weight_v"] = v.astype(np.float32)
+            continue
+        if leaf == "weight":
+            if module_prefix in bn_prefixes:
+                out[key] = _lookup(tree, path, "gamma")
+            elif len(shape) == 4:
+                k_flax = _lookup(tree, path, "kernel")
+                if key in convt_keys:
+                    out[key] = k_flax.transpose(2, 3, 0, 1)
+                else:
+                    out[key] = k_flax.transpose(3, 2, 0, 1)
+            elif len(shape) == 2:
+                arr = _lookup(tree, path, "kernel").T
+                if key == flatten_linear_key:
+                    c, h, w = flatten_linear_chw
+                    arr = arr.reshape(arr.shape[0], h, w, c).transpose(0, 3, 1, 2)
+                    arr = arr.reshape(arr.shape[0], -1)
+                out[key] = arr
+            else:
+                out[key] = _lookup(tree, path, "weight")
+        elif leaf == "bias":
+            name = "beta" if module_prefix in bn_prefixes else "bias"
+            out[key] = _lookup(tree, path, name)
+        elif leaf in ("running_mean", "running_var"):
+            out[key] = _lookup(tree, path, leaf)
+        elif leaf == "weight_v":  # weight norm (no weight_orig sibling)
+            out[key] = _lookup(tree, path, "v").transpose(3, 2, 0, 1)
+        elif leaf == "weight_g":
+            out[key] = _lookup(tree, path, "g").reshape(shape)
+        else:
+            out[key] = _lookup(tree, path, leaf)
+        if tuple(out[key].shape) != shape:
+            raise ValueError(
+                f"exported {key} has shape {out[key].shape}, template wants {shape}"
+            )
+    return {k: np.ascontiguousarray(np.asarray(v, np.float32))
+            if np.asarray(v).dtype != np.int64 else v
+            for k, v in out.items()}
+
+
 def convert_state_dict(
     sd: Dict[str, object],
     convt_keys: Iterable[str] = (),

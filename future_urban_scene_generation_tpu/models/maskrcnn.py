@@ -250,6 +250,9 @@ class MaskRCNN(nn.Module):
     width: int = 64
     out_channels: int = 256
     representation_size: int = 1024
+    # bf16 runs convs/heads on the MXU at half the HBM traffic; all box
+    # decoding / NMS / score math stays f32 in the driver below.
+    compute_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.backbone = Backbone(self.layers, self.width, self.out_channels)
@@ -272,7 +275,7 @@ class MaskRCNN(nn.Module):
 
     # Sub-applies used by the functional inference driver below.
     def features(self, images):
-        return self.backbone(images)
+        return self.backbone(images.astype(self.compute_dtype))
 
     def rpn_head(self, feats):
         return self.rpn(feats)
@@ -442,8 +445,8 @@ def maskrcnn_infer(
         anchors = grid_anchors(fh, fw, STRIDES[i], ANCHOR_SIZES[i])
         # NHWC channels flatten to (H, W, A) order — the same ordering
         # torchvision's permute_and_flatten produces, matching grid_anchors.
-        scores = lg[0].reshape(-1)
-        dl_hw = dl[0].reshape(fh * fw, -1, 4).reshape(-1, 4)
+        scores = lg[0].reshape(-1).astype(jnp.float32)
+        dl_hw = dl[0].reshape(fh * fw, -1, 4).reshape(-1, 4).astype(jnp.float32)
         k = min(pre_nms_top_n, scores.shape[0])
         top_scores, top_idx = jax.lax.top_k(scores, k)
         boxes = decode_boxes(dl_hw[top_idx], anchors[top_idx])
@@ -471,6 +474,8 @@ def maskrcnn_infer(
     class_logits, box_deltas = model.apply(
         params, pooled, method=MaskRCNN.box_heads
     )
+    class_logits = class_logits.astype(jnp.float32)
+    box_deltas = box_deltas.astype(jnp.float32)
     probs = jax.nn.softmax(class_logits, axis=-1)  # (N, C)
     n, num_classes = probs.shape
     box_deltas = box_deltas.reshape(n, num_classes, 4)
@@ -491,24 +496,33 @@ def maskrcnn_infer(
     )
 
     # Batched per-class NMS: offset boxes by class so one NMS call suffices
-    # (torchvision batched_nms trick).
+    # (torchvision batched_nms trick). nms_static materializes the full pairwise
+    # IoU matrix, and N*(C-1) candidates is ~90k for COCO — a 90k^2 f32 matrix
+    # (32 GB) that OOMs HBM. Only score-positive boxes can survive NMS and
+    # torchvision keeps at most `detections_per_img`, so prefilter to the top
+    # `nms_candidates` scores first (a safe superset: candidates beyond it are
+    # all below the 100th-best post-suppression score in practice).
     flat_boxes = boxes_pc.reshape(-1, 4)
     flat_scores = scores_pc.reshape(-1)
     flat_labels = jnp.repeat(cls_ids, n)
-    offset = flat_labels.astype(jnp.float32)[:, None] * (max(h, w) + 2.0)
+    n_cand = min(1000, flat_scores.shape[0])
+    cand_scores, cand_idx = jax.lax.top_k(flat_scores, n_cand)
+    cand_boxes = flat_boxes[cand_idx]
+    cand_labels = flat_labels[cand_idx]
+    offset = cand_labels.astype(jnp.float32)[:, None] * (max(h, w) + 2.0)
     idx, valid = nms_static(
-        flat_boxes + offset, flat_scores, iou_threshold=0.5,
+        cand_boxes + offset, cand_scores, iou_threshold=0.5,
         score_threshold=-0.5, max_outputs=detections_per_img,
     )
     sel = jnp.clip(idx, 0)
-    det_boxes = flat_boxes[sel]
-    det_scores = jnp.where(valid, flat_scores[sel], 0.0)
-    det_labels = jnp.where(valid, flat_labels[sel], 0).astype(jnp.int32)
+    det_boxes = cand_boxes[sel]
+    det_scores = jnp.where(valid, cand_scores[sel], 0.0)
+    det_labels = jnp.where(valid, cand_labels[sel], 0).astype(jnp.int32)
 
     # --- Mask head on final detections. -------------------------------------
     mask_pooled = multilevel_roi_align(feats, det_boxes, 14)
     mask_logits = model.apply(params, mask_pooled, method=MaskRCNN.mask_heads)
-    mask_probs = jax.nn.sigmoid(mask_logits)  # (D, 28, 28, C)
+    mask_probs = jax.nn.sigmoid(mask_logits.astype(jnp.float32))  # (D, 28, 28, C)
     det_masks = jnp.take_along_axis(
         mask_probs, det_labels[:, None, None, None], axis=-1
     )[..., 0]

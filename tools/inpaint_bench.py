@@ -11,8 +11,15 @@ composite) onto the per-step erased backgrounds.
 
 Prints one JSON line with composited frames/s over the whole chain.
 
-    python tools/inpaint_bench.py
+    python tools/inpaint_bench.py [--segmenter {bgdiff,maskrcnn}]
+
+``--segmenter maskrcnn`` is strict reference parity: the TPU-native Mask R-CNN
+(models/maskrcnn.py) segments the vehicles — one detector pass per future frame
+with per-bbox selection (MaskRCNNSegmenter.masks_for_bboxes) instead of the
+reference's detector-per-vehicle re-runs (trajectory_inference.py:115-119,
+319-324).
 """
+import argparse
 import os
 import sys
 import time
@@ -24,6 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--segmenter", default="bgdiff", choices=["bgdiff", "maskrcnn"])
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args()
     import jax
     import jax.numpy as jnp
 
@@ -95,11 +106,29 @@ def main():
     edge_params = jax.jit(EdgeGenerator().init)(key, jnp.zeros((1, 256, 256, 3)))
     inpaint_params = jax.jit(InpaintGenerator().init)(key, jnp.zeros((1, 256, 256, 4)))
 
-    segmenter = BackgroundDiffSegmenter(static_bg)
+    if args.segmenter == "maskrcnn":
+        from future_urban_scene_generation_tpu.models.detector import (
+            MaskRCNNSegmenter,
+        )
+        from future_urban_scene_generation_tpu.models.maskrcnn import MaskRCNN
 
-    seg_all = jax.jit(
-        lambda fs, bs: jax.vmap(lambda f: jax.vmap(lambda b: segmenter(f, b))(bs))(fs)
-    )
+        mrcnn = MaskRCNN(compute_dtype=jnp.bfloat16)
+        mrcnn_params = jax.jit(mrcnn.init)(key, jnp.zeros((1, 512, 1024, 3)))
+        segmenter = MaskRCNNSegmenter(mrcnn_params, model=mrcnn, min_iou=0.0)
+        # One detector pass per future frame (lax.map keeps a single compiled
+        # detector program), per-bbox selection vmapped inside.
+        seg_all = jax.jit(
+            lambda fs, bs: jax.lax.map(
+                lambda f: segmenter.masks_for_bboxes(f, bs), fs
+            )
+        )
+    else:
+        segmenter = BackgroundDiffSegmenter(static_bg)
+        seg_all = jax.jit(
+            lambda fs, bs: jax.vmap(
+                lambda f: jax.vmap(lambda b: segmenter(f, b))(bs)
+            )(fs)
+        )
     erase_all = jax.jit(
         lambda fs, ms: jax.vmap(
             lambda f, m: erase_vehicles(edge_params, inpaint_params, f, bboxes_d, m)
@@ -124,7 +153,7 @@ def main():
     res = request(make_frames(1))
     _ = float(jnp.sum(res.frames_icn[0, ::64, ::64, 0]))  # warm programs
 
-    iters = 8
+    iters = args.iters
     inputs = [make_frames(2 + i) for i in range(iters)]
     jax.block_until_ready(inputs)
     times = []
@@ -139,7 +168,7 @@ def main():
     print(json.dumps({
         "metric": "inpaint_mode_composited_720p_frames_per_sec",
         "value": round(fps, 2), "scene_ms": round(dt * 1e3, 1),
-        "vehicles": V, "steps": T,
+        "vehicles": V, "steps": T, "segmenter": args.segmenter,
     }))
 
 
