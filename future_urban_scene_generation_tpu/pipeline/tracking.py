@@ -144,25 +144,31 @@ class MaskRCNNDetector:
 
     def __init__(self, params, model=None, classes=(3, 6, 8),
                  score_threshold: float = 0.5, input_hw=(512, 1024)):
-        from future_urban_scene_generation_tpu.models.maskrcnn import MaskRCNN
+        import jax
+
+        from future_urban_scene_generation_tpu.models.maskrcnn import (
+            MaskRCNN, maskrcnn_infer,
+        )
+        from future_urban_scene_generation_tpu.ops.resize import resize_bilinear
 
         self.params = params
         self.model = model or MaskRCNN()
         self.classes = tuple(classes)
         self.score_threshold = float(score_threshold)
         self.input_hw = tuple(input_hw)
+        ih, iw = self.input_hw
+        # One compiled program for the whole resize+detect pass — eager
+        # maskrcnn_infer would dispatch thousands of ops per frame.
+        self._infer = jax.jit(
+            lambda p, f: maskrcnn_infer(p, resize_bilinear(f, (ih, iw)),
+                                        model=self.model)
+        )
 
     def __call__(self, frame) -> Tuple[np.ndarray, np.ndarray]:
-        import jax.numpy as jnp
-
-        from future_urban_scene_generation_tpu.models.maskrcnn import maskrcnn_infer
-        from future_urban_scene_generation_tpu.ops.resize import resize_bilinear
-
         h, w = frame.shape[0], frame.shape[1]
         ih, iw = self.input_hw
-        det = maskrcnn_infer(self.params, resize_bilinear(frame, (ih, iw)),
-                             model=self.model)
-        boxes = np.asarray(det.boxes, np.float32)
+        det = self._infer(self.params, frame)
+        boxes = np.array(det.boxes, np.float32)  # copy: device views are read-only
         boxes *= np.asarray([w / iw, h / ih, w / iw, h / ih], np.float32)
         labels = np.asarray(det.labels)
         scores = np.asarray(det.scores, np.float32)

@@ -29,9 +29,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 import pytest  # noqa: E402
 
 
-# The slow tier does not fit one bounded invocation; it splits into two batches
-# (assigned here by module so the partition lives in one place). Whole-suite
-# runbook (commands + expected timings): README "Running the tests".
+# The slow tier does not fit one bounded invocation; it splits into three
+# batches, each under ~10 min on this container's CPU (assigned here by module
+# so the partition lives in one place). Whole-suite runbook (commands +
+# expected timings): README "Running the tests".
 _SLOW_MODELS = {
     # torch-mirror builds + model/trainer parity
     "test_bf16_inference", "test_maskrcnn", "test_vgg", "test_reference_crossval",
@@ -40,17 +41,21 @@ _SLOW_MODELS = {
     "test_export",
 }
 _SLOW_PIPELINE = {
-    # full scene-program compiles + streaming/sharding/service
-    "test_pipeline", "test_frame_crossval", "test_service_cli",
-    "test_sharded_inference", "test_parallel_training", "test_streaming",
-    "test_tracking", "test_datagen", "test_model_spec", "test_inpaint_detector",
+    # full scene-program compiles + sharding equivalence
+    "test_pipeline", "test_frame_crossval", "test_sharded_inference",
+    "test_parallel_training", "test_model_spec", "test_datagen",
+}
+_SLOW_SERVE = {
+    # CLI/service end-to-end + streaming/tracking + train->export->serve chain
+    "test_service_cli", "test_streaming", "test_tracking",
+    "test_inpaint_detector", "test_train_export_chain",
 }
 
 
 def pytest_collection_modifyitems(config, items):
     """Everything not marked slow is the smoke tier: `pytest -m smoke` (<3 min on
-    CPU) for per-change runs. Slow tests additionally get slow_models or
-    slow_pipeline so the heavy tier runs as two bounded batches."""
+    CPU) for per-change runs. Slow tests additionally get slow_models,
+    slow_pipeline, or slow_serve so the heavy tier runs as bounded batches."""
     for item in items:
         if "slow" not in item.keywords:
             item.add_marker(pytest.mark.smoke)
@@ -60,5 +65,5 @@ def pytest_collection_modifyitems(config, items):
                 item.add_marker(pytest.mark.slow_models)
             elif mod in _SLOW_PIPELINE:
                 item.add_marker(pytest.mark.slow_pipeline)
-            else:  # new slow modules default to the pipeline batch
-                item.add_marker(pytest.mark.slow_pipeline)
+            else:  # serve batch; new slow modules default here
+                item.add_marker(pytest.mark.slow_serve)

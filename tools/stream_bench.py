@@ -6,10 +6,22 @@ pipelining (frame t+1 detection overlaps frame t synthesis).
 Measured on one v5e chip behind the axon tunnel: 64.5 composited frames/s
 (5.4 scenes/s x 12 frames) — the BASELINE.md config-5 target is 30.
 
-    python tools/stream_bench.py
+    python tools/stream_bench.py [--detector {bgdiff,maskrcnn}]
+
+``--detector maskrcnn`` puts the native Mask R-CNN in the per-frame loop
+(tracking.MaskRCNNDetector — the reference's detector, run_test.py:41-43).
+Without trained weights its detections are empty, so the bench unions them
+with the background-diff proposals to keep tracks forming: the measured rate
+pays the FULL detector cost per frame plus the proposal fallback, an upper
+bound on the trained-weights loop cost.
 """
+import argparse
 import os, sys, time, json
 import numpy as np
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--detector", default="bgdiff", choices=["bgdiff", "maskrcnn"])
+args = ap.parse_args()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
@@ -42,6 +54,19 @@ bg_u8 = (rng.rand(H, W, 3) * 40).astype(np.uint8)  # dark-ish static background
 bg_f = jnp.asarray(bg_u8.astype(np.float32) / 255.0)
 detector = trk.BackgroundDiffDetector(bg_f, threshold=0.15, scale=8,
                                       min_area_px=40*40, max_boxes=V)
+if args.detector == "maskrcnn":
+    from future_urban_scene_generation_tpu.models.maskrcnn import MaskRCNN
+
+    _mrcnn = MaskRCNN(compute_dtype=jnp.bfloat16)
+    _mrcnn_params = jax.jit(_mrcnn.init)(key, jnp.zeros((1, 512, 1024, 3)))
+    _mrcnn_det = trk.MaskRCNNDetector(_mrcnn_params, model=_mrcnn)
+    _bgdiff = detector
+
+    def detector(frame):  # noqa: F811 — union, see module docstring
+        boxes, scores = _mrcnn_det(frame)
+        fb_boxes, fb_scores = _bgdiff(frame)
+        return (np.concatenate([boxes, fb_boxes])[:V],
+                np.concatenate([scores, fb_scores])[:V])
 stream = streaming.TrackingStreamRunner(
     models, cad_bank, K, (H, W), n_vehicles=V, n_steps=S,
     depth=2, detector=detector, inv_homography=None, min_track_frames=2,
@@ -73,4 +98,4 @@ dt = time.perf_counter() - t0
 fps = scenes * 2 * S / dt
 print(json.dumps({"metric": "streaming_detect_track_fps", "scenes": scenes,
                   "wall_s": round(dt, 3), "composited_fps": round(fps, 2),
-                  "tracks": len(tracks)}))
+                  "tracks": len(tracks), "detector": args.detector}))
