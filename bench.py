@@ -22,13 +22,19 @@ this fixed-shape design (the PnP while_loop's 50-iteration bound is the one
 data-dependent cost, and garbage keypoints drive it to the worst case, so the
 number is conservative).
 """
+import argparse
 import json
 import time
 
 import numpy as np
 
 
-def main():
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vehicles", type=int, default=4,
+                    help="vehicle count V (the driver runs the default; other "
+                         "values feed the V-scaling table in README)")
+    args = ap.parse_args(argv)
     import os
 
     import jax
@@ -64,7 +70,7 @@ def main():
     from future_urban_scene_generation_tpu.utils import mesh as mu
 
     H, W = 1080, 1920
-    V = 4  # vehicles
+    V = args.vehicles  # vehicles (default 4 — the driver-recorded config)
     T = 6  # trajectory points -> 6 composited frames per branch
     K = np.array(
         [[1400.0, 0, W / 2], [0, 1400.0, H / 2], [0, 0, 1]], dtype=np.float32
@@ -96,7 +102,9 @@ def main():
         ext[:3, :3] = np.asarray(
             x_rot(jnp.float32(-np.pi / 2.4)) @ z_rot(jnp.float32(0.4 + 0.3 * v))
         )
-        ext[:3, 3] = [(-6 + 4 * v), 2.0, 25.0 + 3 * v]
+        # Positions wrap every 4 so V=8/16 scaling runs keep every vehicle
+        # in-frame (v<4 matches the original stagger exactly).
+        ext[:3, 3] = [(-6 + 4 * (v % 4)), 2.0, 25.0 + 3 * (v % 4) + 0.7 * (v // 4)]
         kp2d = np.asarray(
             project_points_extrinsic(
                 cad_bank.keypoints3d[0], jnp.asarray(K), jnp.asarray(ext)
@@ -181,6 +189,8 @@ def main():
                 # chip is shared and a whole round can land in a contended
                 # stretch); the spread between these is the contention error bar.
                 "round_fps": [round(frames_per_scene / m, 3) for m in medians],
+                "vehicles": V,
+                "scenes_per_sec": round(1.0 / dt, 3),
                 "cad_triangles": int(cad_bank.triangles.shape[1]),
                 "n_cads": int(cad_bank.vertices.shape[0]),
             }
