@@ -8,26 +8,35 @@ and is built to survive real CAD mesh density:
 
 * prep (vectorized XLA) computes, per triangle, the AFFINE screen planes of its
   barycentrics (w_k(x, y) = A x + B y + C — edge functions divided by signed
-  area), of its interpolated depth and RGB, and packs them GROUP-major: 8
-  triangles form a group whose 7 planes × 8 triangles live in a (56, 8) matrix
-  of (A, B, C, 0…) rows, plus a group screen bbox;
-* the kernel evaluates a whole group with ONE small MXU matmul against the
-  tile's (x, y, 1) pixel basis — no per-triangle scalar loads or branches,
-  which measured at ~130 ns (skip) / ~430 ns (hit) per triangle per tile in
-  the scalar-loop design and dominated everything;
+  area), of its interpolated depth and RGB. Everything stays full-lane
+  (triangle axis on lanes): 21 plane coefficients + 4 group-bbox values stack
+  into a (32, T) matrix and ONE 2-D transpose yields the kernel's (T, 32)
+  table — row = triangle, col = coefficient. The previous group-major pack
+  ((n_groups, 7, 8, 3) transposes/pads/concats with 3- and 8-wide trailing
+  dims) was the hidden cost of the whole rasterizer: ~1.2 ms of lane-starved
+  relayouts per render, dwarfing the actual kernel;
+* the kernel evaluates a whole 8-triangle group as two VPU FMAs per plane
+  (w = A·xs + B·ys + C over the (8, TILE_PIX) pixel field), reading each
+  coefficient as an (8, 1) sublane column straight from the (T, 32) table —
+  no per-triangle scalar loads or branches, which measured at ~130 ns (skip)
+  / ~430 ns (hit) per triangle per tile in the scalar-loop design;
 * depth/color merging is branch-free in a STACKED register carry: sublane k
   holds a partial z/r/g/b buffer over triangles with index ≡ k (mod 8), so a
   group merge is 5 elementwise ops with no cross-sublane reduction; the 8
   partials resolve to one buffer once per tile, in XLA, after the kernel;
-* triangles stream from HBM in 128-triangle chunks (grid = tiles_y × tiles_x ×
-  chunks, chunk innermost; stacked carries persist in VMEM scratch across chunk
-  steps), so VMEM is O(chunk) — independent of the triangle count. The previous
-  revision kept per-triangle tables VMEM-resident (with lane-padded 4/24-wide
-  trailing dims), which blew the 16 MB scoped-VMEM limit at ~6k triangles;
-* chunks and groups are culled by screen bbox (scalar SMEM/VMEM tests). Meshes
-  sorted by utils.mesh.spatial_sort_triangles (applied in
-  runner.build_cad_bank) give tight chunk/group bboxes, so most (tile, chunk)
-  pairs skip wholesale.
+* the grid is tiles-only: the whole (T_pad, 32) plane table is VMEM-resident
+  (128 B/triangle — ~3 MB even at 23k triangles, DMA'd once via a constant
+  index map) and each tile's carries live in registers through an internal
+  chunk loop. An earlier revision streamed 128-triangle chunks on a third
+  grid axis with VMEM-scratch carries; its ~3 µs/step pipeline machinery over
+  256 steps dwarfed the actual hit work. (The revision before THAT kept a
+  lane-padded group-major table resident, which blew the 16 MB scoped-VMEM
+  limit at ~6k triangles — the current table is 16x smaller per triangle.)
+  Meshes beyond ~100k triangles should take the XLA fallback;
+* chunks (128 triangles) and groups are culled by screen bbox (scalar
+  SMEM/VMEM tests). Meshes sorted by utils.mesh.spatial_sort_triangles
+  (applied in runner.build_cad_bank) give tight chunk/group bboxes, so most
+  (tile, chunk) pairs skip wholesale.
 
 Semantics match render/rasterizer.py: behind-camera and degenerate triangles
 dropped, strictly-closer depth test. Depth TIES between distinct coincident
@@ -52,23 +61,25 @@ _TILE_PIX = TILE_H * TILE_W
 GROUP = 8  # triangles per vectorized evaluation (one sublane each)
 GROUPS_PER_CHUNK = 16
 CHUNK = GROUP * GROUPS_PER_CHUNK  # 128 triangles per streamed block
-# Per-group packed rows: 7 planes (w0, w1, w2, z, r, g, b) × 8 triangles of
-# (A, B, C, 0, 0, 0, 0, 0), then one bbox row (x0, x1, y0, y1, 0…), then 7
-# zero rows to pad the group to 64 rows (sublane-friendly, power-of-two).
-ROWS_PER_GROUP = 64
+# Table columns: 7 planes (w0, w1, w2, z, r, g, b) × (A, B, C) at col p*3+k,
+# then the GROUP screen bbox (x0, x1, y0, y1 — replicated across the group's 8
+# triangle rows so the kernel reads it at the group's first row), padded to 32
+# lanes.
 _N_PLANES = 7
-_BBOX_ROW = _N_PLANES * GROUP  # 56
+_BBOX_COL = _N_PLANES * 3  # 21
+TABLE_COLS = 32
 
 
 def triangle_planes(
     verts_screen: jnp.ndarray, triangles: jnp.ndarray, vert_colors: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Vectorized prep: group-major packed plane table + per-chunk screen bboxes.
+    """Indexed-mesh prep: gather triangle corners, then triangle_planes_corners.
 
-    Returns (coefs (n_groups · ROWS_PER_GROUP, 8) f32, chunk_bbox (n_chunks, 4)
-    f32). Triangles pad up to a CHUNK multiple; invalid triangles (degenerate /
-    behind camera / padding) get a constant −1 coverage plane (never covered)
-    and empty bboxes, so group/chunk culls skip them.
+    NOTE the gathers here cost ~1.2 ms for a 2k-triangle mesh on TPU (row
+    gathers are per-index latency bound) — the serving path avoids them
+    entirely by pre-expanding each CAD into per-corner arrays at CadBank build
+    (triangle indices are static per mesh) and calling the _corners entry
+    points below.
     """
     v0 = verts_screen[triangles[:, 0]]
     v1 = verts_screen[triangles[:, 1]]
@@ -76,24 +87,44 @@ def triangle_planes(
     c0 = vert_colors[triangles[:, 0]]
     c1 = vert_colors[triangles[:, 1]]
     c2 = vert_colors[triangles[:, 2]]
+    screen = jnp.stack([v0.T, v1.T, v2.T])  # (3 corners, 3 comps, T)
+    colors = jnp.stack([c0.T, c1.T, c2.T])
+    return triangle_planes_corners(screen, colors)
 
-    area = (v1[:, 0] - v0[:, 0]) * (v2[:, 1] - v0[:, 1]) - (v1[:, 1] - v0[:, 1]) * (
-        v2[:, 0] - v0[:, 0]
-    )
-    front = (v0[:, 2] > 1e-6) & (v1[:, 2] > 1e-6) & (v2[:, 2] > 1e-6)
+
+def triangle_planes_corners(
+    screen_xyz: jnp.ndarray, color_rgb: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Vectorized prep: per-triangle plane table + per-chunk screen bboxes.
+
+    Takes LANE-MAJOR corner-expanded arrays: screen_xyz (3 corners, 3 comps
+    (x_px, y_px, z_cam), T) and color_rgb (3 corners, 3 comps (r, g, b), T) —
+    every value this function touches is a full-lane (T,) vector, so the whole
+    prep is a single fused elementwise pass (no gathers, no narrow-trailing-dim
+    relayouts). Returns (table (n_tris_pad, TABLE_COLS) f32, chunk_bbox
+    (n_chunks, 4) f32). Triangles pad up to a CHUNK multiple; invalid
+    triangles (degenerate / behind camera / padding) get a constant −1
+    coverage plane (never covered) and empty bboxes, so group/chunk culls skip
+    them.
+    """
+    (v0x, v0y, v0z), (v1x, v1y, v1z), (v2x, v2y, v2z) = screen_xyz
+    c0, c1, c2 = color_rgb  # each (3 rgb, T)
+
+    area = (v1x - v0x) * (v2y - v0y) - (v1y - v0y) * (v2x - v0x)
+    front = (v0z > 1e-6) & (v1z > 1e-6) & (v2z > 1e-6)
     valid = front & (jnp.abs(area) > 1e-12)
     inv_area = jnp.where(valid, 1.0 / jnp.where(jnp.abs(area) < 1e-12, 1.0, area), 0.0)
 
-    def edge_plane(a, b):
+    def edge_plane(ax, ay, bx, by):
         # e(x, y) = (bx-ax)(y-ay) - (by-ay)(x-ax) = A x + B y + C
-        A = -(b[:, 1] - a[:, 1])
-        B = b[:, 0] - a[:, 0]
-        C = (b[:, 1] - a[:, 1]) * a[:, 0] - (b[:, 0] - a[:, 0]) * a[:, 1]
+        A = -(by - ay)
+        B = bx - ax
+        C = (by - ay) * ax - (bx - ax) * ay
         return A, B, C
 
-    e12 = edge_plane(v1, v2)  # -> w0
-    e20 = edge_plane(v2, v0)  # -> w1
-    e01 = edge_plane(v0, v1)  # -> w2
+    e12 = edge_plane(v1x, v1y, v2x, v2y)  # -> w0
+    e20 = edge_plane(v2x, v2y, v0x, v0y)  # -> w1
+    e01 = edge_plane(v0x, v0y, v1x, v1y)  # -> w2
 
     planes = []
     for (A, B, C) in (e12, e20, e01):
@@ -107,10 +138,10 @@ def triangle_planes(
             w0c * q0 + w1c * q1 + w2c * q2,
         )
 
-    za, zb, zc = interp_plane(v0[:, 2], v1[:, 2], v2[:, 2])
-    ra, rb, rc = interp_plane(c0[:, 0], c1[:, 0], c2[:, 0])
-    ga, gb, gc = interp_plane(c0[:, 1], c1[:, 1], c2[:, 1])
-    ba, bb, bc = interp_plane(c0[:, 2], c1[:, 2], c2[:, 2])
+    za, zb, zc = interp_plane(v0z, v1z, v2z)
+    ra, rb, rc = interp_plane(c0[0], c1[0], c2[0])
+    ga, gb, gc = interp_plane(c0[1], c1[1], c2[1])
+    ba, bb, bc = interp_plane(c0[2], c1[2], c2[2])
 
     # Invalid triangles: coverage plane constant −1 (never covered).
     neg1 = jnp.full_like(w0c, -1.0)
@@ -119,150 +150,132 @@ def triangle_planes(
     w0b = jnp.where(valid, w0b, zero)
     w0c = jnp.where(valid, w0c, neg1)
 
-    xs = jnp.stack([v0[:, 0], v1[:, 0], v2[:, 0]], 1)
-    ys = jnp.stack([v0[:, 1], v1[:, 1], v2[:, 1]], 1)
-    bx0 = jnp.where(valid, jnp.min(xs, 1), _BIG)
-    bx1 = jnp.where(valid, jnp.max(xs, 1), -_BIG)
-    by0 = jnp.where(valid, jnp.min(ys, 1), _BIG)
-    by1 = jnp.where(valid, jnp.max(ys, 1), -_BIG)
+    bx0 = jnp.where(valid, jnp.minimum(jnp.minimum(v0x, v1x), v2x), _BIG)
+    bx1 = jnp.where(valid, jnp.maximum(jnp.maximum(v0x, v1x), v2x), -_BIG)
+    by0 = jnp.where(valid, jnp.minimum(jnp.minimum(v0y, v1y), v2y), _BIG)
+    by1 = jnp.where(valid, jnp.maximum(jnp.maximum(v0y, v1y), v2y), -_BIG)
 
-    # (T, 7 planes, 3 coefs)
-    per_tri = jnp.stack(
-        [
-            jnp.stack([w0a, w0b, w0c], -1),
-            jnp.stack([w1a, w1b, w1c], -1),
-            jnp.stack([w2a, w2b, w2c], -1),
-            jnp.stack([za, zb, zc], -1),
-            jnp.stack([ra, rb, rc], -1),
-            jnp.stack([ga, gb, gc], -1),
-            jnp.stack([ba, bb, bc], -1),
-        ],
-        axis=1,
-    ).astype(jnp.float32)
-    bbox = jnp.stack([bx0, bx1, by0, by1], axis=1).astype(jnp.float32)
-
-    t_total = per_tri.shape[0]
+    # Build the table with the triangle axis on LANES throughout — each row is a
+    # full-lane (T,) vector — and transpose ONCE at the end. The previous
+    # group-major pack (transposes/pads/concats over 3- and 8-wide trailing
+    # dims) measured ~1.2 ms of relayouts per render, ~25x the kernel itself.
+    t_total = w0c.shape[0]
     pad = (-t_total) % CHUNK
-    pad_tri = jnp.zeros((1, _N_PLANES, 3), jnp.float32).at[0, 0, 2].set(-1.0)
-    per_tri = jnp.concatenate(
-        [per_tri, jnp.broadcast_to(pad_tri, (pad, _N_PLANES, 3))], axis=0
-    )
-    pad_bbox = jnp.asarray([[_BIG, -_BIG, _BIG, -_BIG]], jnp.float32)
-    bbox = jnp.concatenate([bbox, jnp.broadcast_to(pad_bbox, (pad, 4))], axis=0)
     t_pad = t_total + pad
     n_groups = t_pad // GROUP
 
-    # Pack: (n_groups, 7, 8, 3) -> lane-pad to 8 -> plane rows, then bbox row
-    # and zero padding rows to ROWS_PER_GROUP.
-    grouped = per_tri.reshape(n_groups, GROUP, _N_PLANES, 3).transpose(0, 2, 1, 3)
-    grouped = jnp.pad(grouped, ((0, 0), (0, 0), (0, 0), (0, 8 - 3)))
-    plane_rows = grouped.reshape(n_groups, _N_PLANES * GROUP, 8)
-    gb = bbox.reshape(n_groups, GROUP, 4)
-    group_bbox = jnp.stack(
-        [gb[:, :, 0].min(1), gb[:, :, 1].max(1), gb[:, :, 2].min(1), gb[:, :, 3].max(1)],
-        axis=1,
-    )
-    bbox_row = jnp.pad(group_bbox[:, None, :], ((0, 0), (0, 0), (0, 8 - 4)))
-    zero_rows = jnp.zeros(
-        (n_groups, ROWS_PER_GROUP - _BBOX_ROW - 1, 8), jnp.float32
-    )
-    coefs = jnp.concatenate([plane_rows, bbox_row, zero_rows], axis=1).reshape(
-        n_groups * ROWS_PER_GROUP, 8
-    )
+    def padv(x, fill=0.0):
+        return jnp.pad(x.astype(jnp.float32), (0, pad), constant_values=fill)
 
-    cb = group_bbox.reshape(-1, GROUPS_PER_CHUNK, 4)
+    rows = [
+        padv(w0a), padv(w0b), padv(w0c, -1.0),
+        padv(w1a), padv(w1b), padv(w1c),
+        padv(w2a), padv(w2b), padv(w2c),
+        padv(za), padv(zb), padv(zc),
+        padv(ra), padv(rb), padv(rc),
+        padv(ga), padv(gb), padv(gc),
+        padv(ba), padv(bb), padv(bc),
+    ]
+
+    # Group bbox (min/max over each 8-triangle group), replicated back to the
+    # group's triangle rows so the kernel reads it at the group's first row.
+    bounds = [padv(bx0, _BIG), padv(bx1, -_BIG), padv(by0, _BIG), padv(by1, -_BIG)]
+    group_vals = []
+    for i, bv in enumerate(bounds):
+        g = bv.reshape(n_groups, GROUP)
+        g = g.min(1) if i in (0, 2) else g.max(1)
+        group_vals.append(g)
+        rows.append(jnp.repeat(g, GROUP))
+    rows += [jnp.zeros((t_pad,), jnp.float32)] * (TABLE_COLS - len(rows))
+
+    table = jnp.stack(rows, axis=0).T  # (32, t_pad) -> (t_pad, 32)
+
+    gx0, gx1, gy0, gy1 = group_vals
+    cb = lambda g, red: red(g.reshape(-1, GROUPS_PER_CHUNK), 1)  # noqa: E731
     chunk_bbox = jnp.stack(
-        [cb[:, :, 0].min(1), cb[:, :, 1].max(1), cb[:, :, 2].min(1), cb[:, :, 3].max(1)],
+        [cb(gx0, jnp.min), cb(gx1, jnp.max), cb(gy0, jnp.min), cb(gy1, jnp.max)],
         axis=1,
     )
-    return coefs, chunk_bbox
+    return table, chunk_bbox
 
 
-def _kernel(cbbox_ref, coefs_ref, zs_ref, rs_ref, gs_ref, bs_ref,
-            zbuf8, r8, g8, b8):
+def _kernel(n_chunks, cbbox_ref, coefs_ref, zs_ref, rs_ref, gs_ref, bs_ref):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
-    c = pl.program_id(2)
-    n_chunks = pl.num_programs(2)
     y0 = (ti * TILE_H).astype(jnp.float32)
     x0 = (tj * TILE_W).astype(jnp.float32)
 
-    @pl.when(c == 0)
-    def _():
-        zbuf8[:, :] = jnp.full((GROUP, _TILE_PIX), _BIG, jnp.float32)
-        r8[:, :] = jnp.zeros((GROUP, _TILE_PIX), jnp.float32)
-        g8[:, :] = jnp.zeros((GROUP, _TILE_PIX), jnp.float32)
-        b8[:, :] = jnp.zeros((GROUP, _TILE_PIX), jnp.float32)
+    # Pixel coordinate fields: flattened tile pixels on lanes (pixel
+    # p = local_y * TILE_W + local_x), identical on every sublane.
+    p = jax.lax.broadcasted_iota(jnp.int32, (GROUP, _TILE_PIX), 1)
+    xs = x0 + (p % TILE_W).astype(jnp.float32)
+    ys = y0 + (p // TILE_W).astype(jnp.float32)
 
-    chunk_overlap = (
-        (cbbox_ref[c, 1] >= x0) & (cbbox_ref[c, 0] <= x0 + (TILE_W - 1))
-        & (cbbox_ref[c, 3] >= y0) & (cbbox_ref[c, 2] <= y0 + (TILE_H - 1))
-    )
+    def chunk_body(c, carry):
+        chunk_overlap = (
+            (cbbox_ref[c, 1] >= x0) & (cbbox_ref[c, 0] <= x0 + (TILE_W - 1))
+            & (cbbox_ref[c, 3] >= y0) & (cbbox_ref[c, 2] <= y0 + (TILE_H - 1))
+        )
 
-    @pl.when(chunk_overlap)
-    def _():
-        # Pixel coordinate fields: flattened tile pixels on lanes (pixel
-        # p = local_y * TILE_W + local_x), identical on every sublane.
-        p = jax.lax.broadcasted_iota(jnp.int32, (GROUP, _TILE_PIX), 1)
-        xs = x0 + (p % TILE_W).astype(jnp.float32)
-        ys = y0 + (p // TILE_W).astype(jnp.float32)
-
-        def group_body(g, carry):
-            zbuf, r, gc_, b = carry
-            base = g * ROWS_PER_GROUP
-            overlap = (
-                (coefs_ref[base + _BBOX_ROW, 1] >= x0)
-                & (coefs_ref[base + _BBOX_ROW, 0] <= x0 + (TILE_W - 1))
-                & (coefs_ref[base + _BBOX_ROW, 3] >= y0)
-                & (coefs_ref[base + _BBOX_ROW, 2] <= y0 + (TILE_H - 1))
-            )
-
-            def hit(carry):
+        def chunk_hit(carry):
+            def group_body(g, carry):
                 zbuf, r, gc_, b = carry
-                # Affine plane evaluation on the VPU: w(x, y) = A x + B y + C
-                # as two FMAs over the (GROUP, TILE_PIX) pixel field, with the
-                # per-triangle A/B/C columns broadcast along lanes. This
-                # replaced two (rows, 8) @ (8, TILE_PIX) MXU matmuls — a
-                # contraction depth of 8 wastes the systolic array, and the
-                # coverage rows needed a 6-pass HIGHEST matmul for exact edge
-                # signs; the VPU does native-f32 FMAs, so this is both ~5x
-                # cheaper (measured: render 43.9 -> see README) and MORE exact.
-                def plane(p):
-                    rows = pl.ds(base + p * GROUP, GROUP)
-                    av = coefs_ref[rows, 0][:, None]  # (GROUP, 1) sublane col
-                    bv = coefs_ref[rows, 1][:, None]
-                    cv = coefs_ref[rows, 2][:, None]
-                    return av * xs + bv * ys + cv
+                base = c * CHUNK + g * GROUP
+                overlap = (
+                    (coefs_ref[base, _BBOX_COL + 1] >= x0)
+                    & (coefs_ref[base, _BBOX_COL + 0] <= x0 + (TILE_W - 1))
+                    & (coefs_ref[base, _BBOX_COL + 3] >= y0)
+                    & (coefs_ref[base, _BBOX_COL + 2] <= y0 + (TILE_H - 1))
+                )
 
-                w0 = plane(0)
-                w1 = plane(1)
-                w2 = plane(2)
-                zv = plane(3)
-                col = (plane(4), plane(5), plane(6))
-                covered = (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
-                zc = jnp.where(covered, zv, _BIG)
-                closer = zc < zbuf
-                zbuf = jnp.where(closer, zc, zbuf)
-                r = jnp.where(closer, col[0], r)
-                gc_ = jnp.where(closer, col[1], gc_)
-                b = jnp.where(closer, col[2], b)
-                return zbuf, r, gc_, b
+                def hit(carry):
+                    zbuf, r, gc_, b = carry
+                    # Affine plane evaluation on the VPU: w(x, y) = A x + B y
+                    # + C as two FMAs over the (GROUP, TILE_PIX) pixel field,
+                    # with the per-triangle A/B/C columns broadcast along
+                    # lanes. This replaced two (rows, 8) @ (8, TILE_PIX) MXU
+                    # matmuls — a contraction depth of 8 wastes the systolic
+                    # array, and the coverage rows needed a 6-pass HIGHEST
+                    # matmul for exact edge signs; the VPU does native-f32
+                    # FMAs, so this is both faster and MORE exact.
+                    def plane(p):
+                        rows = pl.ds(base, GROUP)
+                        av = coefs_ref[rows, 3 * p + 0][:, None]  # (GROUP, 1)
+                        bv = coefs_ref[rows, 3 * p + 1][:, None]
+                        cv = coefs_ref[rows, 3 * p + 2][:, None]
+                        return av * xs + bv * ys + cv
 
-            return jax.lax.cond(overlap, hit, lambda cr: cr, carry)
+                    w0 = plane(0)
+                    w1 = plane(1)
+                    w2 = plane(2)
+                    zv = plane(3)
+                    col = (plane(4), plane(5), plane(6))
+                    covered = (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
+                    zc = jnp.where(covered, zv, _BIG)
+                    closer = zc < zbuf
+                    zbuf = jnp.where(closer, zc, zbuf)
+                    r = jnp.where(closer, col[0], r)
+                    gc_ = jnp.where(closer, col[1], gc_)
+                    b = jnp.where(closer, col[2], b)
+                    return zbuf, r, gc_, b
 
-        init = (zbuf8[:, :], r8[:, :], g8[:, :], b8[:, :])
-        zbuf, r, gc_, b = jax.lax.fori_loop(0, GROUPS_PER_CHUNK, group_body, init)
-        zbuf8[:, :] = zbuf
-        r8[:, :] = r
-        g8[:, :] = gc_
-        b8[:, :] = b
+                return jax.lax.cond(overlap, hit, lambda cr: cr, carry)
 
-    @pl.when(c == n_chunks - 1)
-    def _():
-        zs_ref[:, :] = zbuf8[:, :]
-        rs_ref[:, :] = r8[:, :]
-        gs_ref[:, :] = g8[:, :]
-        bs_ref[:, :] = b8[:, :]
+            return jax.lax.fori_loop(0, GROUPS_PER_CHUNK, group_body, carry)
+
+        return jax.lax.cond(chunk_overlap, chunk_hit, lambda cr: cr, carry)
+
+    init = (
+        jnp.full((GROUP, _TILE_PIX), _BIG, jnp.float32),
+        jnp.zeros((GROUP, _TILE_PIX), jnp.float32),
+        jnp.zeros((GROUP, _TILE_PIX), jnp.float32),
+        jnp.zeros((GROUP, _TILE_PIX), jnp.float32),
+    )
+    zbuf, r, gc_, b = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+    zs_ref[:, :] = zbuf
+    rs_ref[:, :] = r
+    gs_ref[:, :] = gc_
+    bs_ref[:, :] = b
 
 
 @partial(jax.jit, static_argnames=("out_hw", "interpret"))
@@ -274,38 +287,69 @@ def rasterize_pallas(
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for render.rasterizer.rasterize (image, background_mask)."""
+    v0 = verts_screen[triangles[:, 0]]
+    v1 = verts_screen[triangles[:, 1]]
+    v2 = verts_screen[triangles[:, 2]]
+    c0 = vert_colors[triangles[:, 0]]
+    c1 = vert_colors[triangles[:, 1]]
+    c2 = vert_colors[triangles[:, 2]]
+    return rasterize_pallas_corners(
+        jnp.stack([v0.T, v1.T, v2.T]), jnp.stack([c0.T, c1.T, c2.T]),
+        out_hw, interpret,
+    )
+
+
+@partial(jax.jit, static_argnames=("out_hw", "interpret"))
+def rasterize_pallas_corners(
+    screen_xyz: jnp.ndarray,
+    color_rgb: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather-free rasterization from corner-expanded triangles.
+
+    screen_xyz / color_rgb: LANE-MAJOR (3 corners, 3 comps, T) — per-corner
+    screen position (x_px, y_px, z_cam) and RGB color (see
+    triangle_planes_corners).
+    """
     h, w = out_hw
     if h % TILE_H or w % TILE_W:
         raise ValueError(f"output {out_hw} must tile by ({TILE_H}, {TILE_W})")
-    coefs, chunk_bbox = triangle_planes(verts_screen, triangles, vert_colors)
+    coefs, chunk_bbox = triangle_planes_corners(screen_xyz, color_rgb)
     n_chunks = chunk_bbox.shape[0]
     n_i, n_j = h // TILE_H, w // TILE_W
     n_tiles = n_i * n_j
 
     stacked_spec = pl.BlockSpec(
         (GROUP, _TILE_PIX),
-        lambda i, j, c, nj=n_j: (0, i * nj + j),
+        lambda i, j, nj=n_j: (0, i * nj + j),
         memory_space=pltpu.VMEM,
     )
     stacked_shape = jax.ShapeDtypeStruct((GROUP, n_tiles * _TILE_PIX), jnp.float32)
     zs, rs, gs, bs = pl.pallas_call(
-        _kernel,
-        grid=(n_i, n_j, n_chunks),
+        partial(_kernel, n_chunks),
+        grid=(n_i, n_j),
         in_specs=[
             # Whole chunk-bbox table as unblocked SMEM scalars (n_chunks × 4
             # floats): blocked SMEM specs hit the (8, 128) divisibility rule.
             pl.BlockSpec(
-                (n_chunks, 4), lambda i, j, c: (0, 0), memory_space=pltpu.SMEM
+                (n_chunks, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM
             ),
+            # Whole (T_pad, 32) plane table VMEM-resident: 128 B/triangle, so
+            # even a 23k-triangle CAD is ~3 MB — DMA'd ONCE (constant index
+            # map) and reused by every tile step. The earlier chunk-streaming
+            # grid axis (tiles × chunks steps with scratch carries) paid ~3 µs
+            # of pipeline machinery per step — 256 steps dwarfed the actual
+            # hit work. Meshes beyond ~100k triangles should take the XLA
+            # path (rasterize_auto_corners dispatches).
             pl.BlockSpec(
-                (GROUPS_PER_CHUNK * ROWS_PER_GROUP, 8),
-                lambda i, j, c: (c, 0),
+                (n_chunks * CHUNK, TABLE_COLS),
+                lambda i, j: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(stacked_spec,) * 4,
         out_shape=(stacked_shape,) * 4,
-        scratch_shapes=[pltpu.VMEM((GROUP, _TILE_PIX), jnp.float32)] * 4,
         interpret=interpret,
     )(chunk_bbox, coefs)
 

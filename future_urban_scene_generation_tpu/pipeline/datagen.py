@@ -57,15 +57,15 @@ def _vehicle_views(key, cad_bank, intrinsic, frame_hw, vis_res):
     kc, kp_, kd = jax.random.split(key, 3)
     cad_idx = jax.random.randint(kc, (), 0, cad_bank.vertices.shape[0])
     verts = cad_bank.vertices[cad_idx]
-    tris = cad_bank.triangles[cad_idx]
-    normals = cad_bank.normals[cad_idx]
+    corners = cad_bank.corners[cad_idx]
+    corner_normals = cad_bank.corner_normals[cad_idx]
     kp3d = cad_bank.keypoints3d[cad_idx]
     ext = _random_pose(kp_, intrinsic)
     dtheta = jax.random.uniform(kd, (), minval=-0.6, maxval=0.6)
 
     def view(theta):
         sketch, mask, window = stages.render_vehicle(
-            verts, tris, normals, ext, intrinsic, theta, jnp.zeros(3)
+            verts, corners, corner_normals, ext, intrinsic, theta, jnp.zeros(3)
         )
         kp3d_s = kp3d @ z_rot(theta)
         kp2d_s = project_points_extrinsic(kp3d_s, intrinsic, ext)

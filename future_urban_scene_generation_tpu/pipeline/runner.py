@@ -140,14 +140,14 @@ def _geometry_core(models, cad_bank, frame, perception, meter_coords,
 
     def per_vehicle(cad_idx, bbox_window_fields, ext, kp3d, theta_v, tr_v):
         verts = cad_bank.vertices[cad_idx]
-        tris = cad_bank.triangles[cad_idx]
-        normals = cad_bank.normals[cad_idx]
+        corners = cad_bank.corners[cad_idx]
+        corner_normals = cad_bank.corner_normals[cad_idx]
         bbox_window = stages.cr.Window(*bbox_window_fields)
 
         def per_step(theta_s, tr_s):
             with jax.named_scope("fusg.render"):
                 sketch, veh_mask, window = render_vehicle(
-                    verts, tris, normals, ext, intrinsic, theta_s, tr_s
+                    verts, corners, corner_normals, ext, intrinsic, theta_s, tr_s
                 )
             with jax.named_scope("fusg.visibility"):
                 kp3d_s = kp3d @ z_rot(theta_s) + tr_s
@@ -358,7 +358,7 @@ def build_cad_bank(meshes, keypoints, scale: float = 5.0) -> CadBank:
 
     v_max = max(len(m.vertices) for m in meshes)
     t_max = max(len(m.triangles) for m in meshes)
-    verts, tris, normals, kps = [], [], [], []
+    verts, tris, normals, kps, corners, corner_normals = [], [], [], [], [], []
     for mesh, kp in zip(meshes, keypoints):
         mesh = spatial_sort_triangles(mesh)
         n = compute_vertex_normals(mesh)
@@ -373,9 +373,16 @@ def build_cad_bank(meshes, keypoints, scale: float = 5.0) -> CadBank:
         tris.append(t)
         normals.append(n)
         kps.append(np.asarray(kp, np.float32) * scale)
+        # Static corner expansion (lane-major (3 corners, 3 xyz, Tmax)): the
+        # gather-free rasterizer's input — padding triangles expand to vertex 0
+        # thrice (degenerate, culled by the zero-area validity test).
+        corners.append(np.stack([v[t[:, 0]].T, v[t[:, 1]].T, v[t[:, 2]].T]))
+        corner_normals.append(np.stack([n[t[:, 0]].T, n[t[:, 1]].T, n[t[:, 2]].T]))
     return CadBank(
         jnp.asarray(np.stack(verts)),
         jnp.asarray(np.stack(tris)),
         jnp.asarray(np.stack(normals)),
         jnp.asarray(np.stack(kps)),
+        jnp.asarray(np.stack(corners)),
+        jnp.asarray(np.stack(corner_normals)),
     )

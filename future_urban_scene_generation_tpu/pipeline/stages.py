@@ -50,12 +50,20 @@ SKETCH_RES = 256
 
 class CadBank(NamedTuple):
     """The 10 CAD meshes padded to common sizes (vertices x5-scaled like
-    run_test.py:148-151). Padding triangles are degenerate (all-zero index)."""
+    run_test.py:148-151). Padding triangles are degenerate (all-zero index).
+
+    corners/corner_normals are the triangle-index expansion of
+    vertices/normals, LANE-MAJOR (corner, xyz component, triangle): the
+    indices are static per mesh, so expanding once at bank build removes the
+    per-render corner gathers from the rasterizer prep (~1.2 ms per render
+    for a 2k-triangle mesh — they were the whole render stage's cost)."""
 
     vertices: jnp.ndarray  # (C, Vmax, 3)
     triangles: jnp.ndarray  # (C, Tmax, 3) int32
     normals: jnp.ndarray  # (C, Vmax, 3)
     keypoints3d: jnp.ndarray  # (C, 12, 3)
+    corners: jnp.ndarray = None  # (C, 3 corners, 3 xyz, Tmax)
+    corner_normals: jnp.ndarray = None  # (C, 3 corners, 3 xyz, Tmax)
 
 
 # Process-wide architecture knobs (the reference's --stacks/--blocks/--reso flags,
@@ -225,12 +233,30 @@ def _sketch_window(verts_screen: jnp.ndarray) -> cr.Window:
     return cr.square_window_from_bbox(bbox)
 
 
+def _rotate_lane_major(xyz, rot):
+    """(…, 3 xyz, T) row-vectors times rot — component-explicit FMAs (exact f32;
+    a matmul would take bf16 MXU passes and relayout the narrow dims)."""
+    x, y, z = xyz[..., 0, :], xyz[..., 1, :], xyz[..., 2, :]
+    return jnp.stack(
+        [
+            x * rot[0, 0] + y * rot[1, 0] + z * rot[2, 0],
+            x * rot[0, 1] + y * rot[1, 1] + z * rot[2, 1],
+            x * rot[0, 2] + y * rot[1, 2] + z * rot[2, 2],
+        ],
+        axis=-2,
+    )
+
+
 def render_vehicle(
-    vertices, triangles, normals, extrinsic, intrinsic, theta, translation
+    vertices, corners, corner_normals, extrinsic, intrinsic, theta, translation
 ):
     """Render the posed vehicle's normal sketch at its own crop window.
 
-    Returns (sketch (S, S, 3), vehicle_mask (S, S) bool, window, kp-projection cam).
+    vertices (V, 3) define the crop window (projected-vertex bbox, as the
+    reference's windowed GL render does); corners/corner_normals are the
+    bank's lane-major (3 corners, 3 xyz, T) triangle expansion the gather-free
+    rasterizer consumes. Returns (sketch (S, S, 3), vehicle_mask (S, S) bool,
+    window).
     """
     rot = z_rot(theta)
     verts_w = vertices @ rot + translation
@@ -239,8 +265,10 @@ def render_vehicle(
     window = _sketch_window(screen)
     scale = SKETCH_RES / window.w
     cam_crop = cam_full.crop(window.x_start, window.y_start, scale)
-    sketch, bg = rz.render_normal_sketch(
-        verts_w, triangles, normals @ rot, extrinsic, cam_crop,
+    corners_w = _rotate_lane_major(corners, rot) + translation[:, None]
+    normals_w = _rotate_lane_major(corner_normals, rot)
+    sketch, bg = rz.render_normal_sketch_corners(
+        corners_w, normals_w, extrinsic, cam_crop,
         (SKETCH_RES, SKETCH_RES), allow_pallas=MODEL_SPEC["pallas_kernels"],
     )
     return sketch, jnp.logical_not(bg), window

@@ -68,28 +68,56 @@ def rasterize(
     (render_open3d.py:48). Triangles with any vertex behind the camera are dropped
     (no near-plane clipping; vehicle meshes sit well in front of the camera).
     """
+    return rasterize_corners(
+        jnp.stack([
+            verts_screen[triangles[:, 0]].T,
+            verts_screen[triangles[:, 1]].T,
+            verts_screen[triangles[:, 2]].T,
+        ]),
+        jnp.stack([
+            vert_colors[triangles[:, 0]].T,
+            vert_colors[triangles[:, 1]].T,
+            vert_colors[triangles[:, 2]].T,
+        ]),
+        out_hw,
+        chunk,
+    )
+
+
+def rasterize_corners(
+    screen_xyz: jnp.ndarray,
+    color_rgb: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    chunk: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rasterize corner-expanded triangles: LANE-MAJOR (3 corners, 3 comps, T)
+    screen positions (x_px, y_px, z_cam) and colors (r, g, b).
+
+    Gather-free core of :func:`rasterize` — the serving path pre-expands each
+    CAD's (static) triangle indices at CadBank build, which removes the
+    per-render corner gathers (~1.2 ms for a 2k-triangle mesh on TPU).
+    """
     h, w = out_hw
-    t_total = triangles.shape[0]
+    t_total = screen_xyz.shape[-1]
     pad = (-t_total) % chunk
-    triangles = jnp.pad(triangles, ((0, pad), (0, 0)))
-    # Padded triangles get all-zero indices; kill them with a validity flag.
     valid_pad = jnp.arange(t_total + pad) < t_total
+
+    def chunked(a):  # (3, 3, T) -> (n_chunks, C, 3, 3) corner-minor per chunk
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, pad)))
+        return a.reshape(3, 3, -1, chunk).transpose(2, 3, 0, 1)  # (n, C, 3c, 3)
+
+    corner_chunks = chunked(screen_xyz)
+    color_chunks = chunked(color_rgb)
 
     xs = jnp.arange(w, dtype=jnp.float32)[None, :]  # pixel centers at integer coords
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]
-
-    tri_chunks = triangles.reshape(-1, chunk, 3)
     valid_chunks = valid_pad.reshape(-1, chunk)
 
     def chunk_body(carry, inp):
         zbuf, img = carry
-        tris, tri_valid = inp
-        v0 = verts_screen[tris[:, 0]]  # (C, 3)
-        v1 = verts_screen[tris[:, 1]]
-        v2 = verts_screen[tris[:, 2]]
-        c0 = vert_colors[tris[:, 0]]  # (C, 3)
-        c1 = vert_colors[tris[:, 1]]
-        c2 = vert_colors[tris[:, 2]]
+        vc, cc, tri_valid = inp
+        v0, v1, v2 = vc[:, 0], vc[:, 1], vc[:, 2]  # (C, 3)
+        c0, c1, c2 = cc[:, 0], cc[:, 1], cc[:, 2]
 
         front = (v0[:, 2] > 1e-6) & (v1[:, 2] > 1e-6) & (v2[:, 2] > 1e-6) & tri_valid
 
@@ -138,7 +166,9 @@ def rasterize(
 
     zbuf0 = jnp.full((h, w), _BIG, jnp.float32)
     img0 = jnp.zeros((h, w, 3), jnp.float32)
-    (zbuf, img), _ = jax.lax.scan(chunk_body, (zbuf0, img0), (tri_chunks, valid_chunks))
+    (zbuf, img), _ = jax.lax.scan(
+        chunk_body, (zbuf0, img0), (corner_chunks, color_chunks, valid_chunks)
+    )
     mask_bg = zbuf >= _BIG
     img = jnp.where(mask_bg[..., None], 0.0, img)
     return img, mask_bg
@@ -164,6 +194,66 @@ def rasterize_auto(
     if allow_pallas and on_tpu and tiles_ok:
         return pallas_raster.rasterize_pallas(verts_screen, triangles, vert_colors, out_hw)
     return rasterize(verts_screen, triangles, vert_colors, out_hw, chunk)
+
+
+def rasterize_auto_corners(
+    screen_xyz: jnp.ndarray,
+    color_rgb: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    chunk: int = 128,
+    allow_pallas: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Corner-expanded twin of :func:`rasterize_auto` (lane-major (3, 3, T))."""
+    from future_urban_scene_generation_tpu.ops import pallas_raster
+
+    h, w = out_hw
+    on_tpu = jax.default_backend() not in ("cpu",)
+    tiles_ok = h % pallas_raster.TILE_H == 0 and w % pallas_raster.TILE_W == 0
+    if allow_pallas and on_tpu and tiles_ok:
+        return pallas_raster.rasterize_pallas_corners(screen_xyz, color_rgb, out_hw)
+    return rasterize_corners(screen_xyz, color_rgb, out_hw, chunk)
+
+
+def project_corners(corners_xyz: jnp.ndarray, extrinsic: jnp.ndarray, camera: Camera):
+    """Lane-major corner projection: (3 corners, 3 xyz, T) world -> (3, 3, T)
+    screen (x_px, y_px, z_cam).
+
+    Component-explicit FMAs over full-lane (T,) vectors — NOT a matmul: the
+    TPU's default f32 matmul runs bf16 MXU passes (coverage signs are
+    precision-critical), and lane-major elementwise math avoids the
+    narrow-trailing-dim relayouts that made the (T, 3) formulation slow.
+    """
+    ext = extrinsic[:3, :]
+    x, y, z = corners_xyz[:, 0], corners_xyz[:, 1], corners_xyz[:, 2]  # (3, T)
+    cx_ = ext[0, 0] * x + ext[0, 1] * y + ext[0, 2] * z + ext[0, 3]
+    cy_ = ext[1, 0] * x + ext[1, 1] * y + ext[1, 2] * z + ext[1, 3]
+    cz_ = ext[2, 0] * x + ext[2, 1] * y + ext[2, 2] * z + ext[2, 3]
+    safe_z = jnp.where(jnp.abs(cz_) < 1e-9, 1e-9, cz_)
+    sx = camera.fx * cx_ / safe_z + camera.cx
+    sy = camera.fy * cy_ / safe_z + camera.cy
+    return jnp.stack([sx, sy, cz_], axis=1)
+
+
+def render_normal_sketch_corners(
+    corners_xyz: jnp.ndarray,
+    corner_normals_xyz: jnp.ndarray,
+    extrinsic: jnp.ndarray,
+    camera: Camera,
+    out_hw: Tuple[int, int],
+    chunk: int = 128,
+    allow_pallas: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather-free normal-sketch render from corner-expanded geometry.
+
+    corners_xyz / corner_normals_xyz: lane-major (3 corners, 3 xyz, T) world
+    positions and (unnormalized-to-color) vertex normals. Same semantics as
+    :func:`render_normal_sketch` (render_open3d.py:37-48) for meshes where the
+    expansion came from the same triangle list.
+    """
+    colors = (corner_normals_xyz + 1.0) / 2.0
+    screen = project_corners(corners_xyz, extrinsic, camera)
+    img, bg = rasterize_auto_corners(screen, colors, out_hw, chunk, allow_pallas)
+    return jnp.clip(img, 0.0, 1.0), bg
 
 
 def render_normal_sketch(

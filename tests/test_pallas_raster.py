@@ -58,20 +58,22 @@ def test_depth_tie_first_wins():
 
 def test_triangle_planes_bbox():
     verts, tris, colors = _random_scene(10, 8)
-    coefs, chunk_bbox = pr.triangle_planes(verts, tris, colors)
+    table, chunk_bbox = pr.triangle_planes(verts, tris, colors)
     n_groups = pr.CHUNK // pr.GROUP  # 8 triangles pad to one chunk
-    assert coefs.shape == (n_groups * pr.ROWS_PER_GROUP, 8)
+    assert table.shape == (n_groups * pr.GROUP, pr.TABLE_COLS)
     assert chunk_bbox.shape == (1, 4)
-    c = np.asarray(coefs).reshape(n_groups, pr.ROWS_PER_GROUP, 8)
-    # Group 0 holds the 8 real triangles; its bbox row must be ordered and the
-    # chunk bbox is the union over groups (padding groups have empty bboxes).
-    b0 = c[0, pr._BBOX_ROW, :4]
+    c = np.asarray(table).reshape(n_groups, pr.GROUP, pr.TABLE_COLS)
+    # Group 0 holds the 8 real triangles; its bbox cols must be ordered (and
+    # replicated across the group's rows); the chunk bbox is the union over
+    # groups (padding groups have empty bboxes).
+    b0 = c[0, 0, pr._BBOX_COL:pr._BBOX_COL + 4]
     assert b0[0] <= b0[1] and b0[2] <= b0[3]
+    assert np.all(c[0, :, pr._BBOX_COL:pr._BBOX_COL + 4] == b0[None])
     for g in range(1, n_groups):
-        bg = c[g, pr._BBOX_ROW, :4]
+        bg = c[g, 0, pr._BBOX_COL:pr._BBOX_COL + 4]
         assert bg[0] > bg[1]  # empty: padding-only group
         # padding triangles carry the -1 coverage plane (never covered)
-        assert np.all(c[g, :pr.GROUP, 2] == -1.0) or np.all(c[g, 2, 2] == -1.0)
+        assert np.all(c[g, :, 2] == -1.0)
     cb = np.asarray(chunk_bbox)[0]
     assert cb[0] == b0[0] and cb[1] == b0[1]
 
@@ -102,3 +104,24 @@ def test_vmap_batched_matches_single():
         img_s, bg_s = f(verts[k], tris[k], colors[k])
         assert np.array_equal(np.asarray(bgs_b[k]), np.asarray(bg_s))
         assert np.allclose(np.asarray(imgs_b[k]), np.asarray(img_s))
+
+
+def _corners_from_indexed(verts, tris, colors):
+    v = np.asarray(verts)
+    t = np.asarray(tris)
+    c = np.asarray(colors)
+    screen = np.stack([v[t[:, 0]].T, v[t[:, 1]].T, v[t[:, 2]].T])
+    rgb = np.stack([c[t[:, 0]].T, c[t[:, 1]].T, c[t[:, 2]].T])
+    return jnp.asarray(screen), jnp.asarray(rgb)
+
+
+def test_corners_entry_matches_indexed():
+    # The serving path's gather-free entry (pre-expanded lane-major corners, as
+    # CadBank builds them) must be bit-identical to the indexed entry: it is the
+    # same prep on the same values, minus the gathers.
+    verts, tris, colors = _random_scene(n_verts=50, n_tris=pr.CHUNK + 33)
+    screen, rgb = _corners_from_indexed(verts, tris, colors)
+    img_i, bg_i = pr.rasterize_pallas(verts, tris, colors, (64, 128), interpret=True)
+    img_c, bg_c = pr.rasterize_pallas_corners(screen, rgb, (64, 128), interpret=True)
+    assert np.array_equal(np.asarray(bg_i), np.asarray(bg_c))
+    assert np.array_equal(np.asarray(img_i), np.asarray(img_c))

@@ -120,3 +120,51 @@ def test_crop_camera_consistency():
     cover_crop = (~np.asarray(bg_crop)).mean()
     # Vehicle fills a large part of the crop window.
     assert cover_crop > 0.2, cover_crop
+
+
+def test_rasterize_corners_matches_indexed():
+    # XLA fallback: the corner-expanded entry is the indexed entry minus the
+    # per-render gathers — identical output, including background mask.
+    rng = np.random.RandomState(7)
+    verts = jnp.asarray(rng.rand(40, 3) * [60, 60, 3] + [0, 0, 4], jnp.float32)
+    tris = jnp.asarray(rng.randint(0, 40, (37, 3)), jnp.int32)
+    colors = jnp.asarray(rng.rand(40, 3), jnp.float32)
+    img_i, bg_i = rz.rasterize(verts, tris, colors, (64, 64))
+    v, t, c = np.asarray(verts), np.asarray(tris), np.asarray(colors)
+    screen = jnp.asarray(np.stack([v[t[:, 0]].T, v[t[:, 1]].T, v[t[:, 2]].T]))
+    rgb = jnp.asarray(np.stack([c[t[:, 0]].T, c[t[:, 1]].T, c[t[:, 2]].T]))
+    img_c, bg_c = rz.rasterize_corners(screen, rgb, (64, 64))
+    assert np.array_equal(np.asarray(bg_i), np.asarray(bg_c))
+    assert np.abs(np.asarray(img_i) - np.asarray(img_c)).max() < 1e-6
+
+
+def test_normal_sketch_corners_matches_indexed():
+    # The CadBank corner expansion (world-space verts/normals indexed per
+    # corner, lane-major) through render_normal_sketch_corners must match the
+    # indexed render_normal_sketch path end to end.
+    mesh, _ = mesh_utils.make_test_car()
+    mesh = mesh.with_vertices(mesh.vertices * 5.0)
+    normals = mesh_utils.compute_vertex_normals(mesh)
+    k_mat = jnp.asarray([[800.0, 0, 128], [0, 800.0, 128], [0, 0, 1]])
+    cam = rz.Camera.from_intrinsic(k_mat)
+    from future_urban_scene_generation_tpu.geometry.rotations import x_rot, z_rot
+
+    ext = np.eye(4, dtype=np.float32)
+    ext[:3, :3] = np.asarray(x_rot(jnp.float32(-np.pi / 2.5)) @ z_rot(jnp.float32(0.6)))
+    ext[:3, 3] = [0, 0.5, 12.0]
+
+    v = np.float32(mesh.vertices)
+    t = np.asarray(mesh.triangles)
+    n = np.float32(normals)
+    img_i, bg_i = rz.render_normal_sketch(
+        jnp.asarray(v), jnp.asarray(t), jnp.asarray(n), jnp.asarray(ext), cam,
+        (256, 256), allow_pallas=False,
+    )
+    corners = jnp.asarray(np.stack([v[t[:, 0]].T, v[t[:, 1]].T, v[t[:, 2]].T]))
+    corner_normals = jnp.asarray(np.stack([n[t[:, 0]].T, n[t[:, 1]].T, n[t[:, 2]].T]))
+    img_c, bg_c = rz.render_normal_sketch_corners(
+        corners, corner_normals, jnp.asarray(ext), cam, (256, 256),
+        allow_pallas=False,
+    )
+    assert np.array_equal(np.asarray(bg_i), np.asarray(bg_c))
+    assert np.abs(np.asarray(img_i) - np.asarray(img_c)).max() < 1e-5
