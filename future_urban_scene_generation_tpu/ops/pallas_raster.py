@@ -68,6 +68,10 @@ CHUNK = GROUP * GROUPS_PER_CHUNK  # 128 triangles per streamed block
 _N_PLANES = 7
 _BBOX_COL = _N_PLANES * 3  # 21
 TABLE_COLS = 32
+# The whole (T_pad, 32) f32 table lives in VMEM (128 B/triangle) alongside the
+# per-tile carries/outputs; past this bound rasterize_auto* take the chunked
+# XLA path instead of risking the 16 MB scoped-VMEM limit (80k tris ~ 10 MB).
+MAX_PALLAS_TRIS = 80_000
 
 
 def triangle_planes(

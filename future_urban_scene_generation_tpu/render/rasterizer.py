@@ -191,7 +191,8 @@ def rasterize_auto(
     h, w = out_hw
     on_tpu = jax.default_backend() not in ("cpu",)
     tiles_ok = h % pallas_raster.TILE_H == 0 and w % pallas_raster.TILE_W == 0
-    if allow_pallas and on_tpu and tiles_ok:
+    size_ok = triangles.shape[0] <= pallas_raster.MAX_PALLAS_TRIS
+    if allow_pallas and on_tpu and tiles_ok and size_ok:
         return pallas_raster.rasterize_pallas(verts_screen, triangles, vert_colors, out_hw)
     return rasterize(verts_screen, triangles, vert_colors, out_hw, chunk)
 
@@ -209,7 +210,8 @@ def rasterize_auto_corners(
     h, w = out_hw
     on_tpu = jax.default_backend() not in ("cpu",)
     tiles_ok = h % pallas_raster.TILE_H == 0 and w % pallas_raster.TILE_W == 0
-    if allow_pallas and on_tpu and tiles_ok:
+    size_ok = screen_xyz.shape[-1] <= pallas_raster.MAX_PALLAS_TRIS
+    if allow_pallas and on_tpu and tiles_ok and size_ok:
         return pallas_raster.rasterize_pallas_corners(screen_xyz, color_rgb, out_hw)
     return rasterize_corners(screen_xyz, color_rgb, out_hw, chunk)
 
