@@ -125,3 +125,27 @@ def test_corners_entry_matches_indexed():
     img_c, bg_c = pr.rasterize_pallas_corners(screen, rgb, (64, 128), interpret=True)
     assert np.array_equal(np.asarray(bg_i), np.asarray(bg_c))
     assert np.array_equal(np.asarray(img_i), np.asarray(img_c))
+
+
+def test_dense_mesh_6144_tris():
+    # Round-2 regression: the kernel's previous VMEM-resident table OOM'd the
+    # 16 MB scoped-VMEM limit at exactly this density (a subdiv=16 test car =
+    # 6,144 triangles; the reference's Pascal3D+ CADs are this order). The
+    # (T, 32) table is 128 B/triangle, so this must compile and match the XLA
+    # path. Dense meshes put many sliver triangles on the silhouette, where
+    # the affine-plane coverage can flip an edge pixel vs the XLA path's
+    # direct barycentric signs — allow a small fraction of such pixels.
+    from future_urban_scene_generation_tpu.utils import mesh as mu
+
+    mesh, _ = mu.make_test_car(subdiv=16)
+    assert mesh.triangles.shape[0] >= 6144
+    n = mu.compute_vertex_normals(mesh)
+    verts = jnp.asarray(np.float32(mesh.vertices * 40 + [64, 32, 8]))
+    colors = jnp.asarray(np.float32((n + 1) / 2))
+    tris = jnp.asarray(mesh.triangles)
+    img_pl, bg_pl = pr.rasterize_pallas(verts, tris, colors, (64, 128), interpret=True)
+    img_x, bg_x = rz.rasterize(verts, tris, colors, (64, 128))
+    bg_flip = (np.asarray(bg_x) != np.asarray(bg_pl)).mean()
+    assert bg_flip < 0.005, bg_flip
+    d = np.abs(np.asarray(img_x) - np.asarray(img_pl)).max(-1)
+    assert (d > 1e-3).mean() < 0.01
