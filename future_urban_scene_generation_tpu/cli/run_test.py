@@ -1,8 +1,10 @@
 """CLI entry point — run_test.py-compatible flags plus a headless selection mode.
 
 The reference requires a PyQt5 GUI to pick vehicles (run_test.py:156-161); here
-``--select-ids`` + ``--frame-id`` run the same request headlessly, and the optional Qt
-GUI (future_urban_scene_generation_tpu/gui) is used only when installed and requested.
+``--select-ids`` + ``--frame-id`` run the same request headlessly, ``--web-gui``
+serves a zero-dependency browser GUI with the reference's interaction model
+(gui/web.py — TPU hosts are headless), and the optional Qt GUI
+(future_urban_scene_generation_tpu/gui/app.py) is used when installed and requested.
 
 Usage (mirrors run_test.py:92-121):
   python -m future_urban_scene_generation_tpu.cli.run_test \
@@ -52,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frame-id", type=int, default=1)
     p.add_argument("--output-dir", type=Path, default=Path("./results"))
     p.add_argument("--gui", action="store_true", help="launch the Qt GUI if available")
+    p.add_argument("--web-gui", action="store_true",
+                   help="serve the zero-dependency browser GUI (gui/web.py)")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address for --web-gui")
+    p.add_argument("--port", type=int, default=8000, help="port for --web-gui")
     p.add_argument("--frame-hw", type=int, nargs=2, default=None, metavar=("H", "W"),
                    help="working resolution (default 720 1280; 'native' via -1 -1)")
     p.add_argument("--vis-res", type=int, default=192,
@@ -60,11 +67,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vis-scale", type=float, default=None,
                    help="DEPRECATED and ignored: visibility now rasters in a "
                         "scale-free local window (--vis-res)")
+    p.add_argument("--jax-cache-dir", default=None,
+                   help="persistent XLA compile cache directory (default: "
+                        "$FUSG_JAX_CACHE or .jax_cache next to the package; "
+                        "--no-jax-cache disables)")
+    p.add_argument("--no-jax-cache", action="store_true",
+                   help="disable the persistent compile cache")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    if not args.no_jax_cache:
+        from future_urban_scene_generation_tpu.utils.cache import (
+            enable_persistent_cache,
+        )
+
+        enable_persistent_cache(args.jax_cache_dir)
 
     from future_urban_scene_generation_tpu.config import PipelineConfig
 
@@ -97,6 +117,11 @@ def main(argv=None):
         print("--vis-scale is deprecated and ignored (see --vis-res)",
               file=sys.stderr)
     cfg.load_edgeconnect_yaml()
+
+    if args.web_gui:
+        from future_urban_scene_generation_tpu.gui.web import launch_web_gui
+
+        return launch_web_gui(cfg, host=args.host, port=args.port)
 
     if args.gui:
         try:

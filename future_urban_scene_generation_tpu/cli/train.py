@@ -38,11 +38,21 @@ def build_parser():
     p.add_argument("--log-interval", type=int, default=10)  # config.py:65
     p.add_argument("--seed", type=int, default=10)  # config.py:36
     p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--jax-cache-dir", default=None,
+                   help="persistent XLA compile cache dir (default: "
+                        "$FUSG_JAX_CACHE or package-adjacent .jax_cache)")
+    p.add_argument("--no-jax-cache", action="store_true")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if not args.no_jax_cache:
+        from future_urban_scene_generation_tpu.utils.cache import (
+            enable_persistent_cache,
+        )
+
+        enable_persistent_cache(args.jax_cache_dir)
     import jax
     import jax.numpy as jnp
     import numpy as np

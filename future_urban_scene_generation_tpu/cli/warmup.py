@@ -41,9 +41,11 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    if args.cache_dir:
-        jax.config.update("jax_compilation_cache_dir", args.cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from future_urban_scene_generation_tpu.utils.cache import enable_persistent_cache
+
+    # Warming exists to FILL the cache, so it is always on here (the default
+    # directory matches what cli.run_test / cli.train read back).
+    enable_persistent_cache(args.cache_dir, min_compile_secs=2.0)
 
     from future_urban_scene_generation_tpu.geometry.projection import (
         project_points_extrinsic,
