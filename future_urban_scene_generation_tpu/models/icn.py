@@ -23,7 +23,7 @@ from future_urban_scene_generation_tpu.models.layers import (
     avg_pool_torch,
     instance_norm,
     reflect_pad,
-    upsample2x_nearest_nhwc,
+    upconv2x_nearest_reflect,
     zero_pad,
 )
 
@@ -122,6 +122,40 @@ class ContentEncoder(nn.Module):
         return x
 
 
+class _UpConv5(nn.Module):
+    """The up-stage 5x5 conv applied to a pre-upsample input via the fused
+    phase-decomposed rewrite (layers.upconv2x_nearest_reflect). Param layout
+    (conv/kernel (5,5,C,O) + conv/bias) is identical to the TorchConv the
+    reference composition used, so checkpoint conversion is unchanged."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (5, 5, x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        out = upconv2x_nearest_reflect(x, kernel)
+        return out + bias.astype(out.dtype)
+
+
+class UpConv2dBlock(nn.Module):
+    """Fused Upsample(2x nearest) + Conv2dBlock(5, 1, 2, norm='ln', reflect):
+    exact same function as the reference pair (warp_learn/models.py:171-180),
+    computed at source resolution — 36 tap-applications per source pixel
+    instead of 100, and no 4x-upsampled HBM intermediate."""
+
+    features: int
+    activ: str = "relu"
+
+    @nn.compact
+    def __call__(self, x):
+        x = _UpConv5(self.features, name="conv")(x)
+        x = WarpLearnLayerNorm(self.features, name="norm")(x)
+        return activation(self.activ)(x)
+
+
 class Decoder(nn.Module):
     """ResBlocks + nearest-up 5x5 'ln' convs + 7x7 tanh head (warp_learn/models.py:162-187)."""
 
@@ -142,12 +176,8 @@ class Decoder(nn.Module):
         )(x)
         idx = 1
         for _ in range(self.n_upsample):
-            x = upsample2x_nearest_nhwc(x)  # Upsample module: no params
-            idx += 1
-            x = Conv2dBlock(
-                dim // 2, 5, 1, 2, norm="ln", activ=self.activ, pad_type="reflect",
-                name=f"model_{idx}",
-            )(x)
+            idx += 1  # the param-free Upsample module occupies a Sequential slot
+            x = UpConv2dBlock(dim // 2, activ=self.activ, name=f"model_{idx}")(x)
             idx += 1
             dim //= 2
         x = Conv2dBlock(

@@ -613,6 +613,93 @@ def upsample2x_nearest_nhwc(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.repeat(x, 2, axis=2)
 
 
+def upconv2x_nearest_reflect_reference(x: jnp.ndarray, kernel: jnp.ndarray):
+    """Reference composition: nearest-2x upsample -> ReflectionPad2d(2) -> 5x5
+    conv (no bias). The ICN decoder's up stages (warp_learn/models.py:171-180:
+    Upsample + Conv2dBlock(k=5, pad=2, reflect)) compute exactly this."""
+    u = upsample2x_nearest_nhwc(x)
+    u = jnp.pad(u, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="reflect")
+    return _xla_conv(u, kernel.astype(x.dtype), 1, 0)
+
+
+# Row-collapse matrices for the phase decomposition below: output row p = 2i+a
+# reads upsampled rows 2i+a-2 .. 2i+a+2, and upsampled row r holds x[r // 2],
+# so the five 5-tap rows collapse onto source rows {i-1, i, i+1} with
+# phase-dependent multiplicity: a=0 -> (K0+K1, K2+K3, K4), a=1 -> (K0, K1+K2,
+# K3+K4). Same along columns.
+_UPC_M = (
+    ((1, 1, 0, 0, 0), (0, 0, 1, 1, 0), (0, 0, 0, 0, 1)),  # phase 0
+    ((1, 0, 0, 0, 0), (0, 1, 1, 0, 0), (0, 0, 0, 1, 1)),  # phase 1
+)
+
+
+def upconv2x_nearest_reflect(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """nearest-2x upsample -> reflect-pad(2) -> 5x5 conv, WITHOUT materializing
+    the upsampled tensor: one 3x3 conv emitting 4 phase-packed output groups +
+    depth-to-space. Exact (not approximate) vs the reference composition.
+
+    Because nearest upsampling repeats each source pixel 2x2, every output
+    phase (a, b) of the 5x5 conv touches only a 3x3 neighborhood of SOURCE
+    pixels, with taps summed per the collapse matrices above — so the whole
+    stage is a single dense (3*3*C_in) x (4*C_out) MXU contraction at source
+    resolution: 36 tap-applications per source pixel instead of 100, and the
+    4x-larger upsampled intermediate never hits HBM. The collapse assumes
+    x[i-1], x[i+1] neighbors exist, which fails in the first/last source
+    row/col where the reflect padding of the UPSAMPLED field interleaves
+    x[0]/x[1] differently; those 2-pixel output borders are recomputed exactly
+    from 6-row/col gathered strips that reproduce the padded upsampled field
+    the true taps read. Used by the ICN decoder (models/icn.py); parity vs the
+    reference composition is pinned in tests/test_layers.py.
+    """
+    n, h, w, c = x.shape
+    o = kernel.shape[-1]
+    if kernel.shape[0] != 5 or kernel.shape[1] != 5 or h < 4 or w < 4:
+        return upconv2x_nearest_reflect_reference(x, kernel)
+
+    m0 = jnp.asarray(_UPC_M[0], kernel.dtype)
+    m1 = jnp.asarray(_UPC_M[1], kernel.dtype)
+    phases = [
+        jnp.einsum("ak,bl,klio->abio", ma, mb, kernel)
+        for ma in (m0, m1)
+        for mb in (m0, m1)
+    ]
+    kp = jnp.concatenate(phases, axis=-1).astype(x.dtype)  # (3, 3, C, 4*O)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    y4 = _xla_conv(xp, kp, 1, 0)  # (N, H, W, 4*O), groups ordered (a, b, o)
+    y = (
+        y4.reshape(n, h, w, 2, 2, o)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, 2 * h, 2 * w, o)
+    )
+
+    # Border restoration: the first/last two output rows/cols re-run the true
+    # 5x5 conv over the exact 6-row (or 6-col) slice of the padded upsampled
+    # field they read — e.g. output rows 0..1 read padded rows -2..3 =
+    # [x1, x0, x0, x0, x1, x1] (reflect pad of the upsampled field is
+    # u[2]=x[1], u[1]=x[0]). Column strips span the full (row-padded) height,
+    # so they are exact in the corners too.
+    kc = kernel.astype(x.dtype)
+    top_idx = jnp.array([1, 0, 0, 0, 1, 1])
+    bot_idx = jnp.array([h - 2, h - 2, h - 1, h - 1, h - 1, h - 2])
+    rgt_idx = jnp.array([w - 2, w - 2, w - 1, w - 1, w - 1, w - 2])
+
+    def row_strip(idx):
+        xs = jnp.repeat(x[:, idx], 2, axis=2)
+        xs = jnp.pad(xs, ((0, 0), (0, 0), (2, 2), (0, 0)), mode="reflect")
+        return _xla_conv(xs, kc, 1, 0)  # (N, 2, 2W, O)
+
+    def col_strip(idx):
+        xs = jnp.repeat(x[:, :, idx], 2, axis=1)
+        xs = jnp.pad(xs, ((0, 0), (2, 2), (0, 0), (0, 0)), mode="reflect")
+        return _xla_conv(xs, kc, 1, 0)  # (N, 2H, 2, O)
+
+    y = y.at[:, :2].set(row_strip(top_idx))
+    y = y.at[:, -2:].set(row_strip(bot_idx))
+    y = y.at[:, :, :2].set(col_strip(top_idx))
+    y = y.at[:, :, -2:].set(col_strip(rgt_idx))
+    return y
+
+
 def dropout2d(x: jnp.ndarray, rate: float, rng, deterministic: bool) -> jnp.ndarray:
     """torch nn.Dropout2d: zeroes entire channels per sample, scales by 1/(1-p)."""
     if deterministic or rate == 0.0:

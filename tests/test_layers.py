@@ -252,3 +252,34 @@ def test_small_cout_packed_conv_matches_lax():
         )
         assert got.shape == ref.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4)
+
+
+def test_upconv2x_fused_matches_reference_composition():
+    """The ICN decoder's fused up stage (layers.upconv2x_nearest_reflect:
+    nearest-2x upsample + ReflectionPad2d(2) + 5x5 conv rewritten as one
+    phase-packed 3x3 conv + depth-to-space with exact border strips) is the
+    SAME function as the reference composition, including the 2-pixel borders
+    the collapse cannot express (reference pair: warp_learn/models.py:171-180)."""
+    from future_urban_scene_generation_tpu.models import layers as L
+
+    rng = np.random.RandomState(11)
+    # Minimal (4x4), odd, rectangular, and realistic decoder shapes.
+    for (n, h, w, c, o) in ((1, 4, 4, 3, 2), (2, 5, 7, 7, 5), (2, 8, 4, 2, 3),
+                            (1, 64, 64, 16, 8)):
+        x = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32))
+        kern = jnp.asarray(rng.randn(5, 5, c, o).astype(np.float32))
+        ref = L.upconv2x_nearest_reflect_reference(x, kern)
+        fused = L.upconv2x_nearest_reflect(x, kern)
+        assert fused.shape == (n, 2 * h, 2 * w, o)
+        scale = float(jnp.max(jnp.abs(ref)))
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(ref), atol=2e-6 * scale
+        )
+    # Non-5x5 kernels and sub-4 inputs take the reference path verbatim.
+    x = jnp.asarray(rng.randn(1, 3, 3, 2).astype(np.float32))
+    kern = jnp.asarray(rng.randn(5, 5, 2, 2).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(L.upconv2x_nearest_reflect(x, kern)),
+        np.asarray(L.upconv2x_nearest_reflect_reference(x, kern)),
+        rtol=1e-6, atol=1e-6,
+    )
