@@ -29,12 +29,11 @@ import time
 import numpy as np
 
 
-def main(argv=None):
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--vehicles", type=int, default=4,
-                    help="vehicle count V (the driver runs the default; other "
-                         "values feed the V-scaling table in README)")
-    args = ap.parse_args(argv)
+def setup_scene(V: int):
+    """Build the bench's scene inputs + random-init models (shared with
+    tools/scene_profile.py). Returns (models, cad_bank, frame, background,
+    bboxes, meters, K, H, W, T). Applies the production serving config
+    (bf16 generators, 128-res plane warps) and the persistent compile cache."""
     import os
 
     import jax
@@ -70,7 +69,6 @@ def main(argv=None):
     from future_urban_scene_generation_tpu.utils import mesh as mu
 
     H, W = 1080, 1920
-    V = args.vehicles  # vehicles (default 4 — the driver-recorded config)
     T = 6  # trajectory points -> 6 composited frames per branch
     K = np.array(
         [[1400.0, 0, W / 2], [0, 1400.0, H / 2], [0, 0, 1]], dtype=np.float32
@@ -133,6 +131,23 @@ def main(argv=None):
             cov=0.0,
         ))(key),
     )
+    return models, cad_bank, frame, background, bboxes, meters, K, H, W, T
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vehicles", type=int, default=4,
+                    help="vehicle count V (the driver runs the default; other "
+                         "values feed the V-scaling table in README)")
+    args = ap.parse_args(argv)
+    V = args.vehicles  # vehicles (default 4 — the driver-recorded config)
+
+    import jax
+    import jax.numpy as jnp
+
+    from future_urban_scene_generation_tpu.pipeline import runner
+
+    models, cad_bank, frame, background, bboxes, meters, K, H, W, T = setup_scene(V)
 
     run = lambda f: runner.run_scene(  # noqa: E731 — FULL path incl. perception
         models, cad_bank, f, background, bboxes, meters, jnp.asarray(K),
@@ -146,6 +161,7 @@ def main(argv=None):
     # a block_until_ready-per-iteration loop (3538 "fps") have reported impossible
     # numbers; copying a slice of the result to host each iteration cannot lie.
     checksum = 0.0
+    rng = np.random.RandomState(1)  # fresh-input stream for the timed loops
 
     def read_scalar(result):
         # One 4-byte host read of a device-computed scalar: forces the scene

@@ -104,3 +104,48 @@ def test_signoff_skip_run_end_to_end(tmp_path, capsys):
     ])
     assert rc == 1
     assert "SIGN-OFF: FAIL" in capsys.readouterr().out
+
+
+def test_scene_profile_parse_trace(tmp_path):
+    """tools/scene_profile.parse_trace aggregates per-fusg-scope device time
+    from a jax.profiler Chrome trace (the stage-budget tool behind the
+    README's per-scene numbers). Op-level events only exist in TPU traces, so
+    this builds a synthetic vm.trace.json.gz with the TPU layout: an "XLA Ops"
+    thread whose events carry fusg scopes in args.long_name."""
+    import gzip
+    import json
+
+    import scene_profile
+
+    events = [
+        {"ph": "M", "pid": 1, "tid": 7, "name": "thread_name",
+         "args": {"name": "/device:TPU:0 XLA Ops"}},
+        {"ph": "M", "pid": 1, "tid": 9, "name": "thread_name",
+         "args": {"name": "python"}},
+        # Two ops in fusg.icn, one in fusg.render, one unattributed.
+        {"ph": "X", "pid": 1, "tid": 7, "name": "fusion.1", "dur": 1500.0,
+         "args": {"long_name": "jit(run)/fusg.icn/conv_general_dilated",
+                  "hlo_category": "convolution fusion"}},
+        {"ph": "X", "pid": 1, "tid": 7, "name": "fusion.2", "dur": 500.0,
+         "args": {"long_name": "jit(run)/fusg.icn/add",
+                  "hlo_category": "loop fusion"}},
+        {"ph": "X", "pid": 1, "tid": 7, "name": "custom-call.3", "dur": 250.0,
+         "args": {"long_name": "jit(run)/fusg.render/pallas_call",
+                  "hlo_category": "custom call"}},
+        {"ph": "X", "pid": 1, "tid": 7, "name": "copy.4", "dur": 100.0,
+         "args": {"long_name": "jit(run)/copy", "hlo_category": "copy"}},
+        # Host-thread event must be ignored.
+        {"ph": "X", "pid": 1, "tid": 9, "name": "hostwork", "dur": 9e9,
+         "args": {}},
+    ]
+    tdir = tmp_path / "trace" / "plugins" / "profile" / "2026_01_01"
+    tdir.mkdir(parents=True)
+    with gzip.open(tdir / "vm.trace.json.gz", "wt") as fh:
+        json.dump({"traceEvents": events}, fh)
+
+    scopes, ops = scene_profile.parse_trace(str(tmp_path / "trace"))
+    assert scopes["fusg.icn"] == 2000.0
+    assert scopes["fusg.render"] == 250.0
+    assert scopes["unattributed"] == 100.0
+    assert scopes["TOTAL"] == 2350.0
+    assert ops["fusion.1"][0] == 1500.0 and ops["fusion.1"][2] == "fusg.icn"
