@@ -193,3 +193,55 @@ def test_canny_vendored_golden():
                  mask=jnp.asarray(data["mask"]))
     )
     assert (ours != data["edges"]).mean() < 0.002
+
+
+def test_composite_step_matches_separate_mask_and_stitch():
+    """stages.composite_step's single 4-channel resample (color+mask in one
+    scale_and_translate) composites identically to the separate
+    _mask_to_frame + crop.stitch passes it replaced (reference chain:
+    trajectory_inference.py:185-198)."""
+    import jax.numpy as jnp
+
+    from future_urban_scene_generation_tpu.ops import crop as cr
+    from future_urban_scene_generation_tpu.pipeline import stages
+
+    rng = np.random.RandomState(3)
+    H, W, V, S = 96, 128, 3, 64
+    background = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
+    crops = jnp.asarray(rng.rand(V, S, S, 3).astype(np.float32))
+    masks = jnp.asarray(rng.rand(V, S, S) > 0.6)
+    # Windows: in-frame, hanging off the edge, and overlapping each other.
+    wins = cr.Window(
+        x_start=jnp.asarray([10.0, -8.0, 60.0]),
+        y_start=jnp.asarray([12.0, 40.0, -5.0]),
+        w=jnp.asarray([40.0, 52.0, 80.0]),
+        h=jnp.asarray([36.0, 52.0, 70.0]),
+    )
+
+    got = stages.composite_step(background, crops, wins, masks)
+
+    want = background
+    knife_edge = np.zeros((H, W), bool)
+    for v in range(V):
+        win = cr.Window(wins.x_start[v], wins.y_start[v], wins.w[v], wins.h[v])
+        mask_frame = stages._mask_to_frame(masks[v], win, (H, W))
+        want = cr.stitch(want, crops[v], win, mask_frame)
+        # The >0.5 mask threshold is a knife edge wherever the linearly
+        # resampled mask lands EXACTLY on 0.5: a few-ulp difference between
+        # execution contexts (eager here vs scan inside composite_step) flips
+        # the write decision either way. That knife edge predates the fused
+        # composite (same threshold on the same resampled values); exclude
+        # those pixels from the comparison.
+        import jax.image
+
+        canvas_m = jax.image.scale_and_translate(
+            masks[v].astype(jnp.float32)[..., None], (H, W, 1), (0, 1),
+            jnp.stack([win.h / S, win.w / S]),
+            jnp.stack([win.y_start, win.x_start]),
+            method="linear", antialias=False,
+        )[..., 0]
+        knife_edge |= np.abs(np.asarray(canvas_m) - 0.5) <= 1e-4
+
+    diff = np.abs(np.asarray(got) - np.asarray(want)).max(-1)
+    assert knife_edge.mean() < 0.06  # the exclusion must stay small
+    np.testing.assert_array_less(diff[~knife_edge], 1e-4)
