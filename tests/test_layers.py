@@ -283,3 +283,45 @@ def test_upconv2x_fused_matches_reference_composition():
         np.asarray(L.upconv2x_nearest_reflect_reference(x, kern)),
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_upconv2x_fused_gradients_match_reference():
+    """ICNTrainer differentiates through the fused up stage; its VJP (through
+    the phase conv, depth-to-space, and the border dynamic-update-slices) must
+    match the reference composition's VJP."""
+    import jax
+
+    from future_urban_scene_generation_tpu.models import layers as L
+
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(2, 6, 7, 3).astype(np.float32))
+    kern = jnp.asarray(rng.randn(5, 5, 3, 4).astype(np.float32))
+    ct = jnp.asarray(rng.randn(2, 12, 14, 4).astype(np.float32))
+
+    def loss_ref(x_, k_):
+        return jnp.sum(L.upconv2x_nearest_reflect_reference(x_, k_) * ct)
+
+    def loss_fused(x_, k_):
+        return jnp.sum(L.upconv2x_nearest_reflect(x_, k_) * ct)
+
+    gx_r, gk_r = jax.grad(loss_ref, argnums=(0, 1))(x, kern)
+    gx_f, gk_f = jax.grad(loss_fused, argnums=(0, 1))(x, kern)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_f), np.asarray(gk_r), atol=1e-4)
+
+
+def test_upconv2x_fused_bf16_close_to_f32():
+    """The bf16 serving path of the fused up stage stays within bf16 rounding
+    of the f32 reference composition (the collapse sums taps in f32 before
+    casting, so it cannot be less accurate than per-tap bf16 rounding)."""
+    from future_urban_scene_generation_tpu.models import layers as L
+
+    rng = np.random.RandomState(13)
+    x32 = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
+    kern = jnp.asarray(rng.randn(5, 5, 8, 4).astype(np.float32))
+    ref32 = L.upconv2x_nearest_reflect_reference(x32, kern)
+    fused16 = L.upconv2x_nearest_reflect(x32.astype(jnp.bfloat16), kern)
+    assert fused16.dtype == jnp.bfloat16
+    err = np.abs(np.asarray(fused16, np.float32) - np.asarray(ref32))
+    scale = np.abs(np.asarray(ref32)).max()
+    assert err.max() / scale < 2e-2, err.max() / scale
