@@ -239,10 +239,28 @@ def main(argv=None):
     )
 
 
+def _is_transient_backend_error(exc: BaseException) -> bool:
+    """The axon TPU tunnel has measured multi-minute outages (backend init
+    raises/hangs UNAVAILABLE, then recovers on its own). Retry those instead
+    of recording a 0.0-fps round."""
+    msg = str(exc)
+    return "UNAVAILABLE" in msg or "Unable to initialize backend" in msg
+
+
 if __name__ == "__main__":
+    import os
+    import sys
+
     try:
         main()
     except Exception as exc:  # noqa: BLE001 — driver contract: always emit the line
+        retry = int(os.environ.get("FUSG_BENCH_RETRY", "0"))
+        if _is_transient_backend_error(exc) and retry < 3:
+            # Re-exec for a clean backend init (a failed init poisons the
+            # process-level jax client cache).
+            time.sleep(float(os.environ.get("FUSG_BENCH_RETRY_SLEEP", "90")))
+            env = dict(os.environ, FUSG_BENCH_RETRY=str(retry + 1))
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
         print(
             json.dumps(
                 {

@@ -8,6 +8,7 @@ import pytest
 
 TOOLS = Path(__file__).resolve().parent.parent / "tools"
 sys.path.insert(0, str(TOOLS))
+sys.path.insert(0, str(TOOLS.parent))
 
 import fetch_checkpoints  # noqa: E402
 import ssim_signoff  # noqa: E402
@@ -149,3 +150,18 @@ def test_scene_profile_parse_trace(tmp_path):
     assert scopes["unattributed"] == 100.0
     assert scopes["TOTAL"] == 2350.0
     assert ops["fusion.1"][0] == 1500.0 and ops["fusion.1"][2] == "fusg.icn"
+
+
+def test_bench_transient_backend_error_classifier():
+    """bench retries (re-execs) on transient axon-tunnel failures instead of
+    recording a 0.0-fps round; everything else still fails fast with the
+    error JSON line."""
+    import bench
+
+    assert bench._is_transient_backend_error(
+        RuntimeError(
+            "Unable to initialize backend 'axon': UNAVAILABLE: TPU backend "
+            "setup/compile error (Unavailable)."
+        )
+    )
+    assert not bench._is_transient_backend_error(ValueError("shape mismatch"))
