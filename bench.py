@@ -240,11 +240,11 @@ def main(argv=None):
 
 
 def _is_transient_backend_error(exc: BaseException) -> bool:
-    """The axon TPU tunnel has measured multi-minute outages (backend init
-    raises/hangs UNAVAILABLE, then recovers on its own). Retry those instead
-    of recording a 0.0-fps round."""
-    msg = str(exc)
-    return "UNAVAILABLE" in msg or "Unable to initialize backend" in msg
+    """The axon TPU tunnel has measured multi-hour outages (backend init
+    raises UNAVAILABLE, then recovers on its own). Retry exactly that failure
+    mode instead of recording a 0.0-fps round; anything else (compile errors,
+    shape bugs) fails fast so the driver sees the real error immediately."""
+    return "Unable to initialize backend" in str(exc)
 
 
 if __name__ == "__main__":
@@ -254,11 +254,15 @@ if __name__ == "__main__":
     try:
         main()
     except Exception as exc:  # noqa: BLE001 — driver contract: always emit the line
-        retry = int(os.environ.get("FUSG_BENCH_RETRY", "0"))
+        try:  # env knobs must not be able to mask the real error below
+            retry = int(os.environ.get("FUSG_BENCH_RETRY", "0"))
+            sleep_s = float(os.environ.get("FUSG_BENCH_RETRY_SLEEP", "90"))
+        except ValueError:
+            retry, sleep_s = 3, 0.0
         if _is_transient_backend_error(exc) and retry < 3:
             # Re-exec for a clean backend init (a failed init poisons the
             # process-level jax client cache).
-            time.sleep(float(os.environ.get("FUSG_BENCH_RETRY_SLEEP", "90")))
+            time.sleep(sleep_s)
             env = dict(os.environ, FUSG_BENCH_RETRY=str(retry + 1))
             os.execve(sys.executable, [sys.executable] + sys.argv, env)
         print(

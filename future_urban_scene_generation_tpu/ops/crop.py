@@ -151,6 +151,46 @@ def stitch(
     return jnp.where(write, canvas, frame)
 
 
+def stitch_packed(
+    frame: jnp.ndarray,
+    crop_img: jnp.ndarray,
+    window: Window,
+    mask_crop: jnp.ndarray,
+) -> jnp.ndarray:
+    """:func:`stitch` with the mask given at CROP resolution, resampled to the
+    frame inside the same scale_and_translate as the color (4th channel).
+
+    Color and mask use identical (scale, translate, linear) parameters, so
+    packing them halves the full-frame resample traffic of the HBM-bound
+    composite while producing the same result as resampling the mask
+    separately and calling :func:`stitch` (pipeline/stages._mask_to_frame).
+    """
+    h, w = frame.shape[0], frame.shape[1]
+    out_size = crop_img.shape[0]
+    rgbm = jnp.concatenate(
+        [crop_img, mask_crop.astype(crop_img.dtype)[..., None]], axis=-1
+    )
+    canvas = jax.image.scale_and_translate(
+        rgbm,
+        (h, w, rgbm.shape[-1]),
+        (0, 1),
+        jnp.stack([window.h / out_size, window.w / out_size]),
+        jnp.stack([window.y_start, window.x_start]),
+        method="linear",
+        antialias=False,
+    )
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    inside = (
+        (xs >= window.x_start)
+        & (xs < window.x_start + window.w)
+        & (ys >= window.y_start)
+        & (ys < window.y_start + window.h)
+    )
+    write = (inside & (canvas[..., 3] > 0.5))[..., None]
+    return jnp.where(write, canvas[..., :3], frame)
+
+
 def stitch_gather(
     frame: jnp.ndarray,
     crop_img: jnp.ndarray,

@@ -545,36 +545,10 @@ def composite_step(background, crops, windows, masks):
 
     def body(frame, inp):
         crop_img, win_fields, mask = inp
-        window = cr.Window(*win_fields)
-        # One scale_and_translate for color AND mask: both used identical
-        # (scale, translate, linear) parameters, so resampling the mask as a
-        # 4th channel halves the full-frame resample traffic (the composite
-        # is HBM-bound) while staying bit-equivalent to the separate
-        # _mask_to_frame + cr.stitch passes.
-        h, w = frame.shape[0], frame.shape[1]
-        out_size = crop_img.shape[0]
-        rgbm = jnp.concatenate(
-            [crop_img, mask.astype(crop_img.dtype)[..., None]], axis=-1
-        )
-        canvas = jax.image.scale_and_translate(
-            rgbm,
-            (h, w, rgbm.shape[-1]),
-            (0, 1),
-            jnp.stack([window.h / out_size, window.w / out_size]),
-            jnp.stack([window.y_start, window.x_start]),
-            method="linear",
-            antialias=False,
-        )
-        xs = jnp.arange(w, dtype=jnp.float32)[None, :]
-        ys = jnp.arange(h, dtype=jnp.float32)[:, None]
-        inside = (
-            (xs >= window.x_start)
-            & (xs < window.x_start + window.w)
-            & (ys >= window.y_start)
-            & (ys < window.y_start + window.h)
-        )
-        write = (inside & (canvas[..., 3] > 0.5))[..., None]
-        return jnp.where(write, canvas[..., :3], frame), None
+        # Packed stitch: color + crop-resolution mask in ONE full-frame
+        # scale_and_translate (the composite is HBM-bound; see
+        # ops/crop.stitch_packed for the equivalence argument).
+        return cr.stitch_packed(frame, crop_img, cr.Window(*win_fields), mask), None
 
     with jax.named_scope("fusg.composite"):
         win_tuple = (windows.x_start, windows.y_start, windows.w, windows.h)

@@ -34,9 +34,16 @@ def parse_trace(trace_dir):
     ) or glob.glob(os.path.join(trace_dir, "**/*.trace.json.gz"), recursive=True)
     if not paths:
         raise FileNotFoundError(f"no trace json under {trace_dir}")
-    with gzip.open(paths[0], "rt") as fh:
-        data = json.load(fh)
-    events = data.get("traceEvents", [])
+    # A reused --out dir accumulates one plugins/profile/<timestamp>/ per run
+    # (and the profiler may emit one trace file per host): keep every file of
+    # the NEWEST run only — glob order is arbitrary, so sort by mtime.
+    newest_dir = os.path.dirname(max(paths, key=os.path.getmtime))
+    events = []
+    for p in sorted(paths):
+        if os.path.dirname(p) != newest_dir:
+            continue
+        with gzip.open(p, "rt") as fh:
+            events.extend(json.load(fh).get("traceEvents", []))
 
     # Map (pid, tid) -> thread name to keep only XLA op lanes.
     tnames = {}
@@ -113,9 +120,14 @@ def main(argv=None):
 
     f2 = jnp.asarray(np.random.RandomState(7).rand(H, W, 3).astype(np.float32))
     jax.block_until_ready(f2)
+    # Only the scene program inside the trace: reading the checksum through
+    # the separate slice+sum jit would land that program's device time in the
+    # 'unattributed' bucket.
     jax.profiler.start_trace(trace_dir)
-    _ = float(jnp.sum(run(f2).frames_icn[0, ::64, ::64, 0]))
+    result = run(f2)
+    jax.block_until_ready(result)
     jax.profiler.stop_trace()
+    _ = float(jnp.sum(result.frames_icn[0, ::64, ::64, 0]))
 
     scopes, ops = parse_trace(trace_dir)
     ms = {k: round(v / 1000.0, 2) for k, v in sorted(
