@@ -97,7 +97,7 @@ def triangle_planes(
 
 
 def triangle_planes_corners(
-    screen_xyz: jnp.ndarray, color_rgb: jnp.ndarray
+    screen_xyz: jnp.ndarray, color_rgb: jnp.ndarray, cull=False
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Vectorized prep: per-triangle plane table + per-chunk screen bboxes.
 
@@ -110,6 +110,13 @@ def triangle_planes_corners(
     triangles (degenerate / behind camera / padding) get a constant −1
     coverage plane (never covered) and empty bboxes, so group/chunk culls skip
     them.
+
+    ``cull`` (bool scalar, traced OK): drop back-facing triangles — screen
+    area >= 0 under the outward orientation utils.mesh.orient_for_backface_cull
+    establishes (front faces project with NEGATIVE area in y-down pixel
+    coords). Exact for closed meshes (the nearest hit along any ray is always
+    front-facing) and worth ~2x in the kernel: culled triangles get empty
+    bboxes, so Morton-coherent groups/chunks of them skip wholesale.
     """
     (v0x, v0y, v0z), (v1x, v1y, v1z), (v2x, v2y, v2z) = screen_xyz
     c0, c1, c2 = color_rgb  # each (3 rgb, T)
@@ -117,6 +124,8 @@ def triangle_planes_corners(
     area = (v1x - v0x) * (v2y - v0y) - (v1y - v0y) * (v2x - v0x)
     front = (v0z > 1e-6) & (v1z > 1e-6) & (v2z > 1e-6)
     valid = front & (jnp.abs(area) > 1e-12)
+    if not (isinstance(cull, bool) and cull is False):
+        valid = valid & (jnp.logical_not(cull) | (area < 0.0))
     inv_area = jnp.where(valid, 1.0 / jnp.where(jnp.abs(area) < 1e-12, 1.0, area), 0.0)
 
     def edge_plane(ax, ay, bx, by):
@@ -309,17 +318,20 @@ def rasterize_pallas_corners(
     color_rgb: jnp.ndarray,
     out_hw: Tuple[int, int],
     interpret: bool = False,
+    cull=False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather-free rasterization from corner-expanded triangles.
 
     screen_xyz / color_rgb: LANE-MAJOR (3 corners, 3 comps, T) — per-corner
     screen position (x_px, y_px, z_cam) and RGB color (see
-    triangle_planes_corners).
+    triangle_planes_corners). ``cull``: backface-cull flag (bool scalar,
+    traced OK) — sound only for outward-oriented closed meshes
+    (utils.mesh.orient_for_backface_cull).
     """
     h, w = out_hw
     if h % TILE_H or w % TILE_W:
         raise ValueError(f"output {out_hw} must tile by ({TILE_H}, {TILE_W})")
-    coefs, chunk_bbox = triangle_planes_corners(screen_xyz, color_rgb)
+    coefs, chunk_bbox = triangle_planes_corners(screen_xyz, color_rgb, cull)
     n_chunks = chunk_bbox.shape[0]
     n_i, n_j = h // TILE_H, w // TILE_W
     n_tiles = n_i * n_j

@@ -142,12 +142,16 @@ def _geometry_core(models, cad_bank, frame, perception, meter_coords,
         verts = cad_bank.vertices[cad_idx]
         corners = cad_bank.corners[cad_idx]
         corner_normals = cad_bank.corner_normals[cad_idx]
+        cull = (
+            cad_bank.cullable[cad_idx] if cad_bank.cullable is not None else False
+        )
         bbox_window = stages.cr.Window(*bbox_window_fields)
 
         def per_step(theta_s, tr_s):
             with jax.named_scope("fusg.render"):
                 sketch, veh_mask, window = render_vehicle(
-                    verts, corners, corner_normals, ext, intrinsic, theta_s, tr_s
+                    verts, corners, corner_normals, ext, intrinsic, theta_s, tr_s,
+                    cull=cull,
                 )
             with jax.named_scope("fusg.visibility"):
                 kp3d_s = kp3d @ z_rot(theta_s) + tr_s
@@ -353,15 +357,23 @@ def build_cad_bank(meshes, keypoints, scale: float = 5.0) -> CadBank:
 
     from future_urban_scene_generation_tpu.utils.mesh import (
         compute_vertex_normals,
+        orient_for_backface_cull,
         spatial_sort_triangles,
     )
 
     v_max = max(len(m.vertices) for m in meshes)
     t_max = max(len(m.triangles) for m in meshes)
     verts, tris, normals, kps, corners, corner_normals = [], [], [], [], [], []
+    cullable = []
     for mesh, kp in zip(meshes, keypoints):
-        mesh = spatial_sort_triangles(mesh)
+        # Vertex normals from the AS-LOADED winding (reference parity with
+        # Open3D's ComputeVertexNormals on the raw PLY, utils/cad_utils.py:21-25);
+        # the cull rewind below only changes triangle orientation, which the
+        # rasterizer's coverage/interpolation are agnostic to.
         n = compute_vertex_normals(mesh)
+        oriented, can_cull = orient_for_backface_cull(mesh)
+        cullable.append(can_cull)
+        mesh = spatial_sort_triangles(oriented)
         v = np.asarray(mesh.vertices, np.float32) * scale
         t = np.asarray(mesh.triangles, np.int32)
         # Pad vertices by repeating the last one: padded vertices must not distort the
@@ -385,4 +397,5 @@ def build_cad_bank(meshes, keypoints, scale: float = 5.0) -> CadBank:
         jnp.asarray(np.stack(kps)),
         jnp.asarray(np.stack(corners)),
         jnp.asarray(np.stack(corner_normals)),
+        jnp.asarray(np.asarray(cullable, bool)),
     )

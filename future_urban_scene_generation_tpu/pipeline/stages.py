@@ -64,6 +64,10 @@ class CadBank(NamedTuple):
     keypoints3d: jnp.ndarray  # (C, 12, 3)
     corners: jnp.ndarray = None  # (C, 3 corners, 3 xyz, Tmax)
     corner_normals: jnp.ndarray = None  # (C, 3 corners, 3 xyz, Tmax)
+    # (C,) bool: mesh verified closed + outward-oriented at bank build
+    # (utils.mesh.orient_for_backface_cull), so the rasterizer may backface-cull
+    # it exactly — ~2x fewer live triangles per render.
+    cullable: jnp.ndarray = None
 
 
 # Process-wide architecture knobs (the reference's --stacks/--blocks/--reso flags,
@@ -248,15 +252,17 @@ def _rotate_lane_major(xyz, rot):
 
 
 def render_vehicle(
-    vertices, corners, corner_normals, extrinsic, intrinsic, theta, translation
+    vertices, corners, corner_normals, extrinsic, intrinsic, theta, translation,
+    cull=False,
 ):
     """Render the posed vehicle's normal sketch at its own crop window.
 
     vertices (V, 3) define the crop window (projected-vertex bbox, as the
     reference's windowed GL render does); corners/corner_normals are the
     bank's lane-major (3 corners, 3 xyz, T) triangle expansion the gather-free
-    rasterizer consumes. Returns (sketch (S, S, 3), vehicle_mask (S, S) bool,
-    window).
+    rasterizer consumes; ``cull`` is the mesh's CadBank.cullable flag (bool
+    scalar, traced OK) enabling exact backface culling. Returns (sketch
+    (S, S, 3), vehicle_mask (S, S) bool, window).
     """
     rot = z_rot(theta)
     verts_w = vertices @ rot + translation
@@ -270,6 +276,7 @@ def render_vehicle(
     sketch, bg = rz.render_normal_sketch_corners(
         corners_w, normals_w, extrinsic, cam_crop,
         (SKETCH_RES, SKETCH_RES), allow_pallas=MODEL_SPEC["pallas_kernels"],
+        cull=cull,
     )
     return sketch, jnp.logical_not(bg), window
 

@@ -89,6 +89,7 @@ def rasterize_corners(
     color_rgb: jnp.ndarray,
     out_hw: Tuple[int, int],
     chunk: int = 128,
+    cull=False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Rasterize corner-expanded triangles: LANE-MAJOR (3 corners, 3 comps, T)
     screen positions (x_px, y_px, z_cam) and colors (r, g, b).
@@ -96,6 +97,9 @@ def rasterize_corners(
     Gather-free core of :func:`rasterize` — the serving path pre-expands each
     CAD's (static) triangle indices at CadBank build, which removes the
     per-render corner gathers (~1.2 ms for a 2k-triangle mesh on TPU).
+    ``cull``: drop back-facing (screen area >= 0) triangles — sound only for
+    outward-oriented closed meshes (utils.mesh.orient_for_backface_cull);
+    applied identically to the Pallas kernel so both paths stay pixel-matched.
     """
     h, w = out_hw
     t_total = screen_xyz.shape[-1]
@@ -139,6 +143,8 @@ def rasterize_corners(
         neg = (e01 <= 0) & (e12 <= 0) & (e20 <= 0)
         covered = jnp.where(area[:, :, :] > 0, pos, neg) & (jnp.abs(area) > 1e-12)
         covered = covered & front[:, None, None]
+        if not (isinstance(cull, bool) and cull is False):
+            covered = covered & (jnp.logical_not(cull) | (area < 0.0))
 
         safe_area = jnp.where(jnp.abs(area) < 1e-12, 1.0, area)
         w0 = e12 / safe_area  # barycentric of v0
@@ -203,6 +209,7 @@ def rasterize_auto_corners(
     out_hw: Tuple[int, int],
     chunk: int = 128,
     allow_pallas: bool = True,
+    cull=False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Corner-expanded twin of :func:`rasterize_auto` (lane-major (3, 3, T))."""
     from future_urban_scene_generation_tpu.ops import pallas_raster
@@ -212,8 +219,10 @@ def rasterize_auto_corners(
     tiles_ok = h % pallas_raster.TILE_H == 0 and w % pallas_raster.TILE_W == 0
     size_ok = screen_xyz.shape[-1] <= pallas_raster.MAX_PALLAS_TRIS
     if allow_pallas and on_tpu and tiles_ok and size_ok:
-        return pallas_raster.rasterize_pallas_corners(screen_xyz, color_rgb, out_hw)
-    return rasterize_corners(screen_xyz, color_rgb, out_hw, chunk)
+        return pallas_raster.rasterize_pallas_corners(
+            screen_xyz, color_rgb, out_hw, cull=cull
+        )
+    return rasterize_corners(screen_xyz, color_rgb, out_hw, chunk, cull=cull)
 
 
 def project_corners(corners_xyz: jnp.ndarray, extrinsic: jnp.ndarray, camera: Camera):
@@ -244,17 +253,21 @@ def render_normal_sketch_corners(
     out_hw: Tuple[int, int],
     chunk: int = 128,
     allow_pallas: bool = True,
+    cull=False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather-free normal-sketch render from corner-expanded geometry.
 
     corners_xyz / corner_normals_xyz: lane-major (3 corners, 3 xyz, T) world
     positions and (unnormalized-to-color) vertex normals. Same semantics as
     :func:`render_normal_sketch` (render_open3d.py:37-48) for meshes where the
-    expansion came from the same triangle list.
+    expansion came from the same triangle list. ``cull``: backface-cull flag
+    (see rasterize_corners) — set from CadBank.cullable on the serving path.
     """
     colors = (corner_normals_xyz + 1.0) / 2.0
     screen = project_corners(corners_xyz, extrinsic, camera)
-    img, bg = rasterize_auto_corners(screen, colors, out_hw, chunk, allow_pallas)
+    img, bg = rasterize_auto_corners(
+        screen, colors, out_hw, chunk, allow_pallas, cull=cull
+    )
     return jnp.clip(img, 0.0, 1.0), bg
 
 

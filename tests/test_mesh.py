@@ -60,3 +60,28 @@ def test_keypoints_inside_mesh_bounds():
     mesh, kp3d = mu.make_test_car()
     lo, hi = mesh.vertices.min(0) - 1e-6, mesh.vertices.max(0) + 1e-6
     assert np.all(kp3d >= lo) and np.all(kp3d <= hi)
+
+
+def test_orient_for_backface_cull_closed_and_open():
+    mesh, _ = mu.make_test_car(subdiv=3)
+    oriented, cullable = mu.orient_for_backface_cull(mesh)
+    assert cullable
+    # Outward orientation: total signed volume positive, and per-triangle the
+    # winding differs from the input only by even/odd corner swaps.
+    v = oriented.vertices
+    t = oriented.triangles
+    vol = np.einsum(
+        "ij,ij->i", v[t[:, 0]], np.cross(v[t[:, 1]], v[t[:, 2]])
+    ).sum() / 6.0
+    assert vol > 0.0
+    assert sorted(map(tuple, np.sort(t, 1))) == sorted(
+        map(tuple, np.sort(mesh.triangles, 1))
+    )
+
+    # An open surface (single quad patch) must be rejected.
+    quad = mu.TriangleMesh(
+        np.array([[0.0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]]),
+        np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+    )
+    _, cullable = mu.orient_for_backface_cull(quad)
+    assert not cullable

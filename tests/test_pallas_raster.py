@@ -149,3 +149,51 @@ def test_dense_mesh_6144_tris():
     assert bg_flip < 0.005, bg_flip
     d = np.abs(np.asarray(img_x) - np.asarray(img_pl)).max(-1)
     assert (d > 1e-3).mean() < 0.01
+
+
+def test_backface_cull_exact_on_closed_mesh():
+    # orient_for_backface_cull establishes outward winding; culling (area >= 0
+    # dropped) must then be pixel-exact on a closed mesh, in BOTH rasterizer
+    # paths, while keeping ~half the triangles live.
+    from future_urban_scene_generation_tpu.utils import mesh as mu
+
+    mesh, _ = mu.make_test_car(subdiv=6)
+    oriented, cullable = mu.orient_for_backface_cull(mesh)
+    assert cullable
+    n = mu.compute_vertex_normals(mesh)
+    verts = jnp.asarray(np.float32(oriented.vertices * 40 + [64, 32, 8]))
+    colors = jnp.asarray(np.float32((n + 1) / 2))
+    tris = jnp.asarray(oriented.triangles)
+    screen = jnp.stack([verts[tris[:, 0]].T, verts[tris[:, 1]].T, verts[tris[:, 2]].T])
+    rgb = jnp.stack([colors[tris[:, 0]].T, colors[tris[:, 1]].T, colors[tris[:, 2]].T])
+
+    img0, bg0 = pr.rasterize_pallas_corners(screen, rgb, (64, 128), interpret=True)
+    img1, bg1 = pr.rasterize_pallas_corners(
+        screen, rgb, (64, 128), interpret=True, cull=jnp.asarray(True)
+    )
+    assert np.array_equal(np.asarray(bg0), np.asarray(bg1))
+    assert np.array_equal(np.asarray(img0), np.asarray(img1))
+
+    imgx, bgx = rz.rasterize_corners(screen, rgb, (64, 128), cull=jnp.asarray(True))
+    assert np.array_equal(np.asarray(bgx), np.asarray(bg0))
+    d = np.abs(np.asarray(imgx) - np.asarray(img1)).max()
+    assert d < 1e-5, d
+
+    # The cull actually drops triangles: check via the prep table's bboxes
+    # (culled triangles get empty bboxes).
+    table_all, _ = pr.triangle_planes_corners(screen, rgb)
+    table_cull, _ = pr.triangle_planes_corners(screen, rgb, cull=jnp.asarray(True))
+    live = lambda tb: int(np.sum(np.asarray(tb)[:, pr._BBOX_COL] < 1e29))  # noqa: E731
+    assert live(table_cull) < live(table_all)
+
+
+def test_backface_cull_false_flag_is_identity():
+    # A traced False flag must not change anything (non-closed random soup).
+    verts, tris, colors = _random_scene(n_verts=30, n_tris=40)
+    screen, rgb = _corners_from_indexed(verts, tris, colors)
+    img0, bg0 = pr.rasterize_pallas_corners(screen, rgb, (64, 128), interpret=True)
+    img1, bg1 = pr.rasterize_pallas_corners(
+        screen, rgb, (64, 128), interpret=True, cull=jnp.asarray(False)
+    )
+    assert np.array_equal(np.asarray(img0), np.asarray(img1))
+    assert np.array_equal(np.asarray(bg0), np.asarray(bg1))
