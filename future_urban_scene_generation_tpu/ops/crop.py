@@ -191,6 +191,58 @@ def stitch_packed(
     return jnp.where(write, canvas[..., :3], frame)
 
 
+def stitch_packed_patch(
+    frame: jnp.ndarray,
+    crop_img: jnp.ndarray,
+    window: Window,
+    mask_crop: jnp.ndarray,
+    patch_hw,
+) -> jnp.ndarray:
+    """:func:`stitch_packed` restricted to a patch_hw region around the window.
+
+    The composite is HBM-bound and a vehicle window covers a small fraction of
+    a 1080p frame, yet scale_and_translate always materializes a full-frame
+    canvas. This resamples into a static (Ph, Pw) patch anchored at the
+    integer origin clamp(floor(start) - 1, 0, frame - patch) per axis, merges
+    with a dynamic_slice of the frame, and writes it back with
+    dynamic_update_slice — identical output (the resample weights depend on
+    output_coord - translation, and the origin shift is integer) whenever the
+    window fits: REQUIRES window.w <= Pw - 2 and window.h <= Ph - 2 (callers
+    guard with a scene-level fallback to :func:`stitch_packed`, see
+    stages.composite_frames).
+    """
+    h, w = frame.shape[0], frame.shape[1]
+    ph, pw = min(patch_hw[0], h), min(patch_hw[1], w)
+    out_size = crop_img.shape[0]
+    oy = jnp.clip(jnp.floor(window.y_start) - 1.0, 0.0, float(h - ph))
+    ox = jnp.clip(jnp.floor(window.x_start) - 1.0, 0.0, float(w - pw))
+    rgbm = jnp.concatenate(
+        [crop_img, mask_crop.astype(crop_img.dtype)[..., None]], axis=-1
+    )
+    canvas = jax.image.scale_and_translate(
+        rgbm,
+        (ph, pw, rgbm.shape[-1]),
+        (0, 1),
+        jnp.stack([window.h / out_size, window.w / out_size]),
+        jnp.stack([window.y_start - oy, window.x_start - ox]),
+        method="linear",
+        antialias=False,
+    )
+    xs = ox + jnp.arange(pw, dtype=jnp.float32)[None, :]
+    ys = oy + jnp.arange(ph, dtype=jnp.float32)[:, None]
+    inside = (
+        (xs >= window.x_start)
+        & (xs < window.x_start + window.w)
+        & (ys >= window.y_start)
+        & (ys < window.y_start + window.h)
+    )
+    write = (inside & (canvas[..., 3] > 0.5))[..., None]
+    oyi, oxi = oy.astype(jnp.int32), ox.astype(jnp.int32)
+    region = jax.lax.dynamic_slice(frame, (oyi, oxi, 0), (ph, pw, frame.shape[-1]))
+    merged = jnp.where(write, canvas[..., : frame.shape[-1]], region)
+    return jax.lax.dynamic_update_slice(frame, merged, (oyi, oxi, 0))
+
+
 def stitch_gather(
     frame: jnp.ndarray,
     crop_img: jnp.ndarray,

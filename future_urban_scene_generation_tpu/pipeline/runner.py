@@ -23,7 +23,6 @@ from future_urban_scene_generation_tpu.pipeline.stages import (
     CadBank,
     Models,
     central_crop_patch,
-    composite_step,
     perceive,
     pose_rollout,
     render_vehicle,
@@ -272,19 +271,21 @@ def _generate_core(models, frame, background, geom, cad_idx):
     if background.ndim == 3:
         background = jnp.broadcast_to(background, (n_steps,) + background.shape)
 
-    def per_step_composite(bg_s, icn_s, vunet_s, win_fields_s, masks_s):
-        windows_s = stages.cr.Window(*win_fields_s)
-        return (composite_step(bg_s, icn_s, windows_s, masks_s),
-                composite_step(bg_s, vunet_s, windows_s, masks_s))
-
     step_fields = tuple(jnp.swapaxes(f, 0, 1) for f in win_fields)
-    frames_icn, frames_vunet = jax.vmap(per_step_composite)(
-        background,
-        jnp.swapaxes(icn_crops, 0, 1),
-        jnp.swapaxes(vunet_crops, 0, 1),
-        step_fields,
-        jnp.swapaxes(masks, 0, 1),
+    # Both generator branches share one composite call (2S steps): the
+    # patch/full decision in composite_frames is a single scene-level scalar.
+    frames_both = stages.composite_frames(
+        jnp.concatenate([background, background], axis=0),
+        jnp.concatenate(
+            [jnp.swapaxes(icn_crops, 0, 1), jnp.swapaxes(vunet_crops, 0, 1)],
+            axis=0,
+        ),
+        tuple(jnp.concatenate([f, f], axis=0) for f in step_fields),
+        jnp.concatenate(
+            [jnp.swapaxes(masks, 0, 1), jnp.swapaxes(masks, 0, 1)], axis=0
+        ),
     )
+    frames_icn, frames_vunet = jnp.split(frames_both, 2, axis=0)
     return SceneResult(frames_icn, frames_vunet, err, cad_idx)
 
 

@@ -101,6 +101,15 @@ MODEL_SPEC = {
     # the conv I/O — measured ~40 dB PSNR vs f32 on the generators
     # (tests/test_bf16_inference.py). Perception (hourglass/VGG) stays f32.
     "generator_dtype": "float32",
+    # Composite stitch strategy: 0 = full-frame scale_and_translate canvases
+    # (one per vehicle-step stitch); N > 0 = patch-local stitches into a
+    # static N^2 region around each window with a scene-level scalar-cond
+    # fallback to the full path when any window exceeds N - 2 (exactness never
+    # depends on the bound). A/B'd on the chip at N=768 on the headline scene:
+    # 80.6 fps vs 81.3 with the full path — the dynamic_slice/update_slice
+    # machinery and the cond boundary eat the ~3.5x resample saving, so the
+    # default stays 0 (probed dead end, kept testable).
+    "composite_patch": 0,
     # Opaque Pallas fast paths (stem conv ops/pallas_conv.py, rasterizer
     # ops/pallas_raster.py). pallas_call lowers to a custom call with no SPMD
     # sharding rule, so runner.synthesize_scene_sharded disables these under a
@@ -541,6 +550,59 @@ def vunet_decode_batch(models: Models, dst_sketches, mu_app):
         )
         out = out.astype(jnp.float32)
         return jnp.clip((out + 1.0) / 2.0, 0.0, 1.0)
+
+
+def composite_step_patch(background, crops, windows, masks, patch: int):
+    """:func:`composite_step` via patch-local stitches (static patch^2 regions
+    around each window instead of full-frame canvases). Only exact when every
+    window fits patch - 2 per axis (see composite_frames' guard)."""
+
+    def body(frame, inp):
+        crop_img, win_fields, mask = inp
+        return cr.stitch_packed_patch(
+            frame, crop_img, cr.Window(*win_fields), mask, (patch, patch)
+        ), None
+
+    with jax.named_scope("fusg.composite"):
+        win_tuple = (windows.x_start, windows.y_start, windows.w, windows.h)
+        out, _ = jax.lax.scan(
+            body, background, (crops, win_tuple, masks), unroll=True
+        )
+    return out
+
+
+def composite_frames(backgrounds, crops, win_fields, masks):
+    """Composite S frames of V vehicles each: vmapped :func:`composite_step`,
+    with a patch-local fast path when MODEL_SPEC["composite_patch"] > 0.
+
+    backgrounds (S, H, W, 3); crops (S, V, 256, 256, 3); win_fields tuple of
+    4 (S, V) arrays; masks (S, V, 256, 256) bool. The patch/full decision is
+    ONE scalar over the whole scene (any window too big -> full-frame path),
+    so the cond stays a real branch (a vmapped per-step predicate would lower
+    to select and run BOTH paths).
+    """
+    h, w = backgrounds.shape[1], backgrounds.shape[2]
+    patch = int(MODEL_SPEC["composite_patch"])
+
+    def run(step_fn, args):
+        bgs, crops_, wins_, masks_ = args
+
+        def per_step(bg_s, crops_s, win_s, masks_s):
+            return step_fn(bg_s, crops_s, cr.Window(*win_s), masks_s)
+
+        return jax.vmap(per_step)(bgs, crops_, wins_, masks_)
+
+    args = (backgrounds, crops, win_fields, masks)
+    if patch <= 0 or (h <= patch and w <= patch):
+        # Patch off, or the patch IS the frame — plain full-frame path.
+        return run(composite_step, args)
+    fits = jnp.all((win_fields[2] <= patch - 2) & (win_fields[3] <= patch - 2))
+    return jax.lax.cond(
+        fits,
+        lambda a: run(lambda *x: composite_step_patch(*x, patch), a),
+        lambda a: run(composite_step, a),
+        args,
+    )
 
 
 def composite_step(background, crops, windows, masks):

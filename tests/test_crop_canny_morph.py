@@ -245,3 +245,69 @@ def test_composite_step_matches_separate_mask_and_stitch():
     diff = np.abs(np.asarray(got) - np.asarray(want)).max(-1)
     assert knife_edge.mean() < 0.06  # the exclusion must stay small
     np.testing.assert_array_less(diff[~knife_edge], 1e-4)
+
+
+def test_stitch_packed_patch_matches_full():
+    """Patch-local stitch == full-frame stitch_packed whenever the window fits
+    (including edge-clipped and origin-clamped windows)."""
+    import jax.numpy as jnp
+
+    from future_urban_scene_generation_tpu.ops import crop as cr
+
+    rng = np.random.RandomState(5)
+    H, W, S = 200, 320, 64
+    frame = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
+    crop = jnp.asarray(rng.rand(S, S, 3).astype(np.float32))
+    mask = jnp.asarray(rng.rand(S, S) > 0.5)
+    cases = [
+        (20.3, 30.7, 50.0, 44.0),   # interior, fractional start
+        (-12.0, 15.0, 40.0, 40.0),  # off the left edge
+        (290.0, 170.0, 60.0, 50.0), # off the bottom-right corner
+        (0.2, 0.4, 61.5, 61.5),     # near origin, fractional size
+    ]
+    for (x0, y0, w, h) in cases:
+        win = cr.Window(jnp.float32(x0), jnp.float32(y0), jnp.float32(w), jnp.float32(h))
+        full = cr.stitch_packed(frame, crop, win, mask)
+        patch = cr.stitch_packed_patch(frame, crop, win, mask, (64, 64))
+        d = np.abs(np.asarray(full) - np.asarray(patch))
+        # The patch translation (t - origin) rounds at ~1e-7, shifting sample
+        # positions by a few ulp: values drift ~1e-5 (far below the 1/255
+        # output quantization), and the 0.5 mask knife edge can flip on
+        # isolated pixels.
+        assert (d.max(-1) > 1e-4).mean() < 2e-3, (x0, y0, w, h, d.max())
+
+
+def test_composite_frames_patch_and_fallback():
+    """composite_frames == per-step composite_step for fitting windows, and
+    takes the full path (same result) when a window exceeds the patch."""
+    import jax
+    import jax.numpy as jnp
+
+    from future_urban_scene_generation_tpu.ops import crop as cr
+    from future_urban_scene_generation_tpu.pipeline import stages
+
+    rng = np.random.RandomState(11)
+    H, W, V, S, n_steps = 900, 1600, 2, 64, 2  # frame larger than the patch
+    stages.configure_models(composite_patch=768)
+    backgrounds = jnp.asarray(rng.rand(n_steps, H, W, 3).astype(np.float32))
+    crops = jnp.asarray(rng.rand(n_steps, V, S, S, 3).astype(np.float32))
+    masks = jnp.asarray(rng.rand(n_steps, V, S, S) > 0.4)
+
+    def fields(sizes):
+        xs = jnp.asarray(rng.rand(n_steps, V).astype(np.float32) * 800)
+        ys = jnp.asarray(rng.rand(n_steps, V).astype(np.float32) * 500)
+        ws = jnp.asarray(np.float32(sizes))
+        return (xs, ys, ws, ws)
+
+    for sizes in (
+        np.full((n_steps, V), 120.0),                 # all fit -> patch path
+        [[120.0, 768.0], [90.0, 100.0]],  # oversize -> full-path fallback
+    ):
+        win_fields = fields(sizes)
+        got = stages.composite_frames(backgrounds, crops, win_fields, masks)
+        want = jax.vmap(
+            lambda b, c, wf, m: stages.composite_step(b, c, cr.Window(*wf), m)
+        )(backgrounds, crops, win_fields, masks)
+        d = np.abs(np.asarray(got) - np.asarray(want))
+        assert (d.max(-1) > 1e-4).mean() < 2e-3, d.max()
+    stages.configure_models(composite_patch=0)
