@@ -36,7 +36,14 @@ and is built to survive real CAD mesh density:
 * chunks (128 triangles) and groups are culled by screen bbox (scalar
   SMEM/VMEM tests). Meshes sorted by utils.mesh.spatial_sort_triangles
   (applied in runner.build_cad_bank) give tight chunk/group bboxes, so most
-  (tile, chunk) pairs skip wholesale.
+  (tile, chunk) pairs skip wholesale. Probed dead end: splitting each tile
+  into 4 row-strips of (8, 1024) with a per-strip y-overlap cond (so a group
+  only pays for strips its bbox crosses) measured SLOWER in the headline
+  scene (kernel 22.5 -> 23.7 ms): a Morton group of ~10 px triangles spans
+  2-4 of the 8-row strips, so the per-hit cond machinery matched the saved
+  VPU evaluations. The per-hit math already runs at VPU issue rate; the
+  residual inefficiency is the 128-lane field width vs ~40 px triangle
+  spans, which no y-granularity change addresses.
 
 Semantics match render/rasterizer.py: behind-camera and degenerate triangles
 dropped, strictly-closer depth test. Depth TIES between distinct coincident
