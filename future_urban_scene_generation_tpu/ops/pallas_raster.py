@@ -27,23 +27,32 @@ and is built to survive real CAD mesh density:
 * the grid is tiles-only: the whole (T_pad, 32) plane table is VMEM-resident
   (128 B/triangle — ~3 MB even at 23k triangles, DMA'd once via a constant
   index map) and each tile's carries live in registers through an internal
-  chunk loop. An earlier revision streamed 128-triangle chunks on a third
+  group loop. An earlier revision streamed 128-triangle chunks on a third
   grid axis with VMEM-scratch carries; its ~3 µs/step pipeline machinery over
   256 steps dwarfed the actual hit work. (The revision before THAT kept a
   lane-padded group-major table resident, which blew the 16 MB scoped-VMEM
   limit at ~6k triangles — the current table is 16x smaller per triangle.)
   Meshes beyond ~100k triangles should take the XLA fallback;
-* chunks (128 triangles) and groups are culled by screen bbox (scalar
-  SMEM/VMEM tests). Meshes sorted by utils.mesh.spatial_sort_triangles
-  (applied in runner.build_cad_bank) give tight chunk/group bboxes, so most
-  (tile, chunk) pairs skip wholesale. Probed dead end: splitting each tile
-  into 4 row-strips of (8, 1024) with a per-strip y-overlap cond (so a group
-  only pays for strips its bbox crosses) measured SLOWER in the headline
-  scene (kernel 22.5 -> 23.7 ms): a Morton group of ~10 px triangles spans
-  2-4 of the 8-row strips, so the per-hit cond machinery matched the saved
-  VPU evaluations. The per-hit math already runs at VPU issue rate; the
+* tile/group culling is TWO-PASS BINNED: an XLA prepass intersects every
+  group's screen bbox with every tile and scatter-compacts, per tile, the
+  list of overlapping group bases (`bin_groups_for_tiles`); the kernel then
+  runs a dynamic-trip-count loop over EXACTLY that list — no per-group
+  branch machinery at all. The previous single-pass design culled with
+  in-kernel scalar bbox conds (128-triangle chunk cond + per-group cond
+  inside hit chunks); measured on the headline CAD (1,944 tris, 256² crop)
+  it evaluated ~1.6k scalar conds per render to find ~360 true group-hits
+  at ~1.04 µs of VPU work each — the conds were ~60% of kernel time
+  (987 µs/render measured vs 4.27 ms with culling neutered = all 4,096
+  group-tile pairs hit). Probed dead ends, for the record: (a) per-tile
+  MORTON RANGES (loop min..max overlapping group index, keeping the cheap
+  per-group cond) — Morton order is not screen-contiguous, ranges averaged
+  2,166 iterations vs 358 true hits, worse than the conds; (b) splitting
+  each tile into 4 row-strips of (8, 1024) with a per-strip y-overlap cond
+  measured SLOWER (kernel 22.5 -> 23.7 ms): a Morton group of ~10 px
+  triangles spans 2-4 of the 8-row strips, so the strip conds matched the
+  saved VPU evaluations. The per-hit math runs at VPU issue rate; the
   residual inefficiency is the 128-lane field width vs ~40 px triangle
-  spans, which no y-granularity change addresses.
+  spans, which only finer tiles (more overlap duplication) could address.
 
 Semantics match render/rasterizer.py: behind-camera and degenerate triangles
 dropped, strictly-closer depth test. Depth TIES between distinct coincident
@@ -219,9 +228,56 @@ def triangle_planes_corners(
     return table, chunk_bbox
 
 
-def _kernel(n_chunks, cbbox_ref, coefs_ref, zs_ref, rs_ref, gs_ref, bs_ref):
+def bin_groups_for_tiles(
+    table: jnp.ndarray, n_i: int, n_j: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """XLA prepass: per-tile compacted lists of overlapping group bases.
+
+    Intersects every 8-triangle group's screen bbox (replicated in the table's
+    bbox columns; read at each group's first row) with the static tile grid and
+    scatter-compacts the matching group BASES (row index of the group's first
+    triangle) to the front of each tile's row. Returns (bins (n_tiles,
+    n_groups) int32, counts (n_tiles,) int32); entries past counts[t] are
+    zero-filled and never read by the kernel. Cost at headline density
+    (16 tiles x 256 groups) is a 4k-element cumsum+scatter per render —
+    ~2% of the kernel time it saves.
+    """
+    gb = table[::GROUP, _BBOX_COL:_BBOX_COL + 4]  # (n_groups, 4) x0 x1 y0 y1
+    n_groups = gb.shape[0]
+    n_tiles = n_i * n_j
+    t = jnp.arange(n_tiles, dtype=jnp.int32)
+    x0 = ((t % n_j) * TILE_W).astype(jnp.float32)[:, None]
+    y0 = ((t // n_j) * TILE_H).astype(jnp.float32)[:, None]
+    ov = (
+        (gb[None, :, 1] >= x0) & (gb[None, :, 0] <= x0 + (TILE_W - 1))
+        & (gb[None, :, 3] >= y0) & (gb[None, :, 2] <= y0 + (TILE_H - 1))
+    )  # (n_tiles, n_groups)
+    counts = ov.sum(axis=1).astype(jnp.int32)
+    pos = jnp.cumsum(ov.astype(jnp.int32), axis=1) - 1
+    pos = jnp.where(ov, pos, n_groups)  # out of range -> dropped by the scatter
+    bases = jnp.broadcast_to(
+        jnp.arange(n_groups, dtype=jnp.int32)[None, :] * GROUP, ov.shape
+    )
+    tidx = jnp.broadcast_to(t[:, None], ov.shape)
+    bins = (
+        jnp.zeros((n_tiles, n_groups), jnp.int32)
+        .at[tidx, pos].set(bases, mode="drop")
+    )
+    # Column-vector layout for the kernel: Mosaic only allows DYNAMIC scalar
+    # reads on the sublane dimension (a dynamic LANE index must be statically
+    # a multiple of 128), so the (n_tiles, n_groups) table flattens to
+    # (n_tiles * n_groups, 1) and the kernel indexes rows.
+    # counts as an (n_tiles, 1) column: 1-D SMEM blocks trip the last-two-dims
+    # block rule once vmap prepends a batch dimension.
+    return bins.reshape(n_tiles * n_groups, 1), counts[:, None]
+
+
+def _kernel(
+    n_j, n_groups, counts_ref, bins_ref, coefs_ref, zs_ref, rs_ref, gs_ref, bs_ref
+):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
+    tlin = ti * n_j + tj
     y0 = (ti * TILE_H).astype(jnp.float32)
     x0 = (tj * TILE_W).astype(jnp.float32)
 
@@ -231,59 +287,37 @@ def _kernel(n_chunks, cbbox_ref, coefs_ref, zs_ref, rs_ref, gs_ref, bs_ref):
     xs = x0 + (p % TILE_W).astype(jnp.float32)
     ys = y0 + (p // TILE_W).astype(jnp.float32)
 
-    def chunk_body(c, carry):
-        chunk_overlap = (
-            (cbbox_ref[c, 1] >= x0) & (cbbox_ref[c, 0] <= x0 + (TILE_W - 1))
-            & (cbbox_ref[c, 3] >= y0) & (cbbox_ref[c, 2] <= y0 + (TILE_H - 1))
-        )
+    def group_body(k, carry):
+        zbuf, r, gc_, b = carry
+        base = bins_ref[tlin * n_groups + k, 0]
 
-        def chunk_hit(carry):
-            def group_body(g, carry):
-                zbuf, r, gc_, b = carry
-                base = c * CHUNK + g * GROUP
-                overlap = (
-                    (coefs_ref[base, _BBOX_COL + 1] >= x0)
-                    & (coefs_ref[base, _BBOX_COL + 0] <= x0 + (TILE_W - 1))
-                    & (coefs_ref[base, _BBOX_COL + 3] >= y0)
-                    & (coefs_ref[base, _BBOX_COL + 2] <= y0 + (TILE_H - 1))
-                )
+        # Affine plane evaluation on the VPU: w(x, y) = A x + B y + C as two
+        # FMAs over the (GROUP, TILE_PIX) pixel field, with the per-triangle
+        # A/B/C columns broadcast along lanes. This replaced two
+        # (rows, 8) @ (8, TILE_PIX) MXU matmuls — a contraction depth of 8
+        # wastes the systolic array, and the coverage rows needed a 6-pass
+        # HIGHEST matmul for exact edge signs; the VPU does native-f32 FMAs,
+        # so this is both faster and MORE exact.
+        def plane(p):
+            rows = pl.ds(base, GROUP)
+            av = coefs_ref[rows, 3 * p + 0][:, None]  # (GROUP, 1)
+            bv = coefs_ref[rows, 3 * p + 1][:, None]
+            cv = coefs_ref[rows, 3 * p + 2][:, None]
+            return av * xs + bv * ys + cv
 
-                def hit(carry):
-                    zbuf, r, gc_, b = carry
-                    # Affine plane evaluation on the VPU: w(x, y) = A x + B y
-                    # + C as two FMAs over the (GROUP, TILE_PIX) pixel field,
-                    # with the per-triangle A/B/C columns broadcast along
-                    # lanes. This replaced two (rows, 8) @ (8, TILE_PIX) MXU
-                    # matmuls — a contraction depth of 8 wastes the systolic
-                    # array, and the coverage rows needed a 6-pass HIGHEST
-                    # matmul for exact edge signs; the VPU does native-f32
-                    # FMAs, so this is both faster and MORE exact.
-                    def plane(p):
-                        rows = pl.ds(base, GROUP)
-                        av = coefs_ref[rows, 3 * p + 0][:, None]  # (GROUP, 1)
-                        bv = coefs_ref[rows, 3 * p + 1][:, None]
-                        cv = coefs_ref[rows, 3 * p + 2][:, None]
-                        return av * xs + bv * ys + cv
-
-                    w0 = plane(0)
-                    w1 = plane(1)
-                    w2 = plane(2)
-                    zv = plane(3)
-                    col = (plane(4), plane(5), plane(6))
-                    covered = (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
-                    zc = jnp.where(covered, zv, _BIG)
-                    closer = zc < zbuf
-                    zbuf = jnp.where(closer, zc, zbuf)
-                    r = jnp.where(closer, col[0], r)
-                    gc_ = jnp.where(closer, col[1], gc_)
-                    b = jnp.where(closer, col[2], b)
-                    return zbuf, r, gc_, b
-
-                return jax.lax.cond(overlap, hit, lambda cr: cr, carry)
-
-            return jax.lax.fori_loop(0, GROUPS_PER_CHUNK, group_body, carry)
-
-        return jax.lax.cond(chunk_overlap, chunk_hit, lambda cr: cr, carry)
+        w0 = plane(0)
+        w1 = plane(1)
+        w2 = plane(2)
+        zv = plane(3)
+        col = (plane(4), plane(5), plane(6))
+        covered = (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
+        zc = jnp.where(covered, zv, _BIG)
+        closer = zc < zbuf
+        zbuf = jnp.where(closer, zc, zbuf)
+        r = jnp.where(closer, col[0], r)
+        gc_ = jnp.where(closer, col[1], gc_)
+        b = jnp.where(closer, col[2], b)
+        return zbuf, r, gc_, b
 
     init = (
         jnp.full((GROUP, _TILE_PIX), _BIG, jnp.float32),
@@ -291,7 +325,9 @@ def _kernel(n_chunks, cbbox_ref, coefs_ref, zs_ref, rs_ref, gs_ref, bs_ref):
         jnp.zeros((GROUP, _TILE_PIX), jnp.float32),
         jnp.zeros((GROUP, _TILE_PIX), jnp.float32),
     )
-    zbuf, r, gc_, b = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+    zbuf, r, gc_, b = jax.lax.fori_loop(
+        0, counts_ref[tlin, 0], group_body, init
+    )
     zs_ref[:, :] = zbuf
     rs_ref[:, :] = r
     gs_ref[:, :] = gc_
@@ -338,10 +374,11 @@ def rasterize_pallas_corners(
     h, w = out_hw
     if h % TILE_H or w % TILE_W:
         raise ValueError(f"output {out_hw} must tile by ({TILE_H}, {TILE_W})")
-    coefs, chunk_bbox = triangle_planes_corners(screen_xyz, color_rgb, cull)
-    n_chunks = chunk_bbox.shape[0]
+    coefs, _ = triangle_planes_corners(screen_xyz, color_rgb, cull)
     n_i, n_j = h // TILE_H, w // TILE_W
     n_tiles = n_i * n_j
+    bins, counts = bin_groups_for_tiles(coefs, n_i, n_j)
+    n_groups = bins.shape[0] // n_tiles
 
     stacked_spec = pl.BlockSpec(
         (GROUP, _TILE_PIX),
@@ -350,13 +387,22 @@ def rasterize_pallas_corners(
     )
     stacked_shape = jax.ShapeDtypeStruct((GROUP, n_tiles * _TILE_PIX), jnp.float32)
     zs, rs, gs, bs = pl.pallas_call(
-        partial(_kernel, n_chunks),
+        partial(_kernel, n_j, n_groups),
         grid=(n_i, n_j),
         in_specs=[
-            # Whole chunk-bbox table as unblocked SMEM scalars (n_chunks × 4
-            # floats): blocked SMEM specs hit the (8, 128) divisibility rule.
+            # Per-tile group counts as unblocked SMEM scalars ((n_tiles, 1)
+            # int32): each tile's dynamic loop bound. Blocked SMEM specs hit
+            # the (8, 128) divisibility rule, so pass the whole array.
             pl.BlockSpec(
-                (n_chunks, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+                (n_tiles, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+            ),
+            # Whole bin table VMEM-resident as an (n_tiles * n_groups, 1)
+            # int32 column (64 B/group per tile at headline density): the
+            # kernel reads one scalar base per loop iteration at a dynamic
+            # SUBLANE index (dynamic lane indices are illegal in Mosaic).
+            pl.BlockSpec(
+                (n_tiles * n_groups, 1), lambda i, j: (0, 0),
+                memory_space=pltpu.VMEM,
             ),
             # Whole (T_pad, 32) plane table VMEM-resident: 128 B/triangle, so
             # even a 23k-triangle CAD is ~3 MB — DMA'd ONCE (constant index
@@ -366,7 +412,7 @@ def rasterize_pallas_corners(
             # hit work. Meshes beyond ~100k triangles should take the XLA
             # path (rasterize_auto_corners dispatches).
             pl.BlockSpec(
-                (n_chunks * CHUNK, TABLE_COLS),
+                (coefs.shape[0], TABLE_COLS),
                 lambda i, j: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -374,7 +420,7 @@ def rasterize_pallas_corners(
         out_specs=(stacked_spec,) * 4,
         out_shape=(stacked_shape,) * 4,
         interpret=interpret,
-    )(chunk_bbox, coefs)
+    )(counts, bins, coefs)
 
     # XLA resolution of the 8 sublane-partial buffers (cheap, fuses):
     # min-depth winner; exact ties average (identical colors at shared edges).
