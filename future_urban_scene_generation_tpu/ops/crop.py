@@ -156,6 +156,7 @@ def stitch_packed(
     crop_img: jnp.ndarray,
     window: Window,
     mask_crop: jnp.ndarray,
+    resample_dtype=None,
 ) -> jnp.ndarray:
     """:func:`stitch` with the mask given at CROP resolution, resampled to the
     frame inside the same scale_and_translate as the color (4th channel).
@@ -164,12 +165,24 @@ def stitch_packed(
     packing them halves the full-frame resample traffic of the HBM-bound
     composite while producing the same result as resampling the mask
     separately and calling :func:`stitch` (pipeline/stages._mask_to_frame).
+
+    ``resample_dtype`` (e.g. bfloat16): dtype of the full-frame canvas the
+    resample materializes — the composite's dominant HBM traffic. The frame
+    and the merged output stay f32; only the stitched pixels quantize (~4e-3,
+    the order of the reference's own uint8 rounding). The mask channel is
+    exact at bf16 where it matters: interpolated mask values near the 0.5
+    threshold are short convex combinations of {0, 1} whose bf16 rounding
+    moves them ~1e-3 — flips are confined to pixels where the f32 value is
+    within that distance of 0.5, i.e. the same boundary pixels the linear
+    resample already makes convention-sensitive.
     """
     h, w = frame.shape[0], frame.shape[1]
     out_size = crop_img.shape[0]
     rgbm = jnp.concatenate(
         [crop_img, mask_crop.astype(crop_img.dtype)[..., None]], axis=-1
     )
+    if resample_dtype is not None:
+        rgbm = rgbm.astype(resample_dtype)
     canvas = jax.image.scale_and_translate(
         rgbm,
         (h, w, rgbm.shape[-1]),
@@ -179,6 +192,7 @@ def stitch_packed(
         method="linear",
         antialias=False,
     )
+    canvas = canvas.astype(jnp.float32)
     xs = jnp.arange(w, dtype=jnp.float32)[None, :]
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]
     inside = (

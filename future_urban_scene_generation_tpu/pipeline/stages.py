@@ -612,12 +612,23 @@ def composite_step(background, crops, windows, masks):
     crops: (V, 256, 256, 3); windows: batched Window (V,); masks: (V, 256, 256) bool.
     """
 
+    # bf16 canvases under the bf16 serving config: the full-frame resample
+    # canvas is the composite's dominant HBM traffic, and its quantization
+    # (~4e-3 on stitched pixels only) matches the generator-dtype quality
+    # budget (tests/test_bf16_inference.py). f32 configs stay exact.
+    resample_dtype = (
+        jnp.bfloat16 if MODEL_SPEC["generator_dtype"] == "bfloat16" else None
+    )
+
     def body(frame, inp):
         crop_img, win_fields, mask = inp
         # Packed stitch: color + crop-resolution mask in ONE full-frame
         # scale_and_translate (the composite is HBM-bound; see
         # ops/crop.stitch_packed for the equivalence argument).
-        return cr.stitch_packed(frame, crop_img, cr.Window(*win_fields), mask), None
+        return cr.stitch_packed(
+            frame, crop_img, cr.Window(*win_fields), mask,
+            resample_dtype=resample_dtype,
+        ), None
 
     with jax.named_scope("fusg.composite"):
         win_tuple = (windows.x_start, windows.y_start, windows.w, windows.h)
