@@ -197,3 +197,28 @@ def test_backface_cull_false_flag_is_identity():
     )
     assert np.array_equal(np.asarray(img0), np.asarray(img1))
     assert np.array_equal(np.asarray(bg0), np.asarray(bg1))
+
+
+def test_bin_groups_for_tiles_matches_bruteforce():
+    # The binning prepass must list exactly the groups whose bbox intersects
+    # each tile (compacted to the row front, bases ascending), with counts.
+    verts, tris, colors = _random_scene(n_verts=60, n_tris=2 * pr.CHUNK + 11)
+    screen, rgb = _corners_from_indexed(verts, tris, colors)
+    table, _ = pr.triangle_planes_corners(screen, rgb)
+    n_i, n_j = 2, 2  # 64 x 256 canvas
+    bins, counts = pr.bin_groups_for_tiles(table, n_i, n_j)
+    tb = np.asarray(table)
+    gb = tb[::pr.GROUP, pr._BBOX_COL:pr._BBOX_COL + 4]
+    n_groups = gb.shape[0]
+    bins = np.asarray(bins).reshape(n_i * n_j, n_groups)
+    counts = np.asarray(counts).reshape(-1)
+    for t in range(n_i * n_j):
+        ti, tj = t // n_j, t % n_j
+        x0, y0 = tj * pr.TILE_W, ti * pr.TILE_H
+        ov = (
+            (gb[:, 1] >= x0) & (gb[:, 0] <= x0 + pr.TILE_W - 1)
+            & (gb[:, 3] >= y0) & (gb[:, 2] <= y0 + pr.TILE_H - 1)
+        )
+        expect = np.nonzero(ov)[0] * pr.GROUP
+        assert counts[t] == len(expect)
+        assert np.array_equal(bins[t, :len(expect)], expect)
