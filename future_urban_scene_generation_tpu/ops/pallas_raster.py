@@ -71,7 +71,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e30
-TILE_H = 32
+# (16, 128) tiles: with binning exact per tile (no per-group conds), smaller
+# tiles trade more bin-list iterations for less wasted lane work per hit —
+# a ~33 px group bbox covers ~40% of a 16-row tile's pixel field vs ~25% of a
+# 32-row one. Measured on the headline scene: render 9.6 -> 7.9 ms device.
+TILE_H = 16
 TILE_W = 128
 _TILE_PIX = TILE_H * TILE_W
 GROUP = 8  # triangles per vectorized evaluation (one sublane each)
