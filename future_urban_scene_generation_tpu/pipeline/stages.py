@@ -433,8 +433,22 @@ def warp_planes_to_crop(
     tex, write = warp_one(side_src, side_dst, side_skip)
     out = out * (1.0 - write) + tex[None] * write
 
+    # Front/back are opposite faces too, so they also share ONE gather. Unlike
+    # the sides there is no cross-substitution (planes_utils.py:58-60: a
+    # non-symmetry plane warps only src slot i -> dst slot i), so the pair's
+    # single active warp is front->front or back->back — never both: that would
+    # need front AND back co-visible in one pose, which the painter's-algorithm
+    # rule never produces (pose-sweep evidence pinned by
+    # test_warp_planes.py::test_front_back_never_covisible).
+    front, back = vis.OPPOSITE_PAIR
+    fb_front = src_vis[front] & dst_vis[front]
+    fb_back = src_vis[back] & dst_vis[back]
+    fb_idx = jnp.where(fb_front, front, back)
+    tex, write = warp_one(fb_idx, fb_idx, jnp.logical_not(fb_front | fb_back))
+    out = out * (1.0 - write) + tex[None] * write
+
     for i in range(vis.NUM_TEXTURE_PLANES):
-        if i in (left, right):
+        if i in (left, right, front, back):
             continue
         skip = jnp.logical_not(src_vis[i]) | jnp.logical_not(dst_vis[i])
         tex, write = warp_one(jnp.asarray(i), jnp.asarray(i), skip)

@@ -45,6 +45,11 @@ OCCLUSION_PLANES = np.array(
 )
 ALL_PLANES = np.concatenate([TEXTURE_PLANES, OCCLUSION_PLANES], axis=0)  # (7, 6)
 SYMMETRY_PAIR = (0, 1)  # (left, right) indices in TEXTURE_PLANES
+# Front/back are the other opposite-face pair: never co-visible under the 0.9
+# rule (no symmetry substitution for them in the reference — the pair matters
+# only because its two possible warps are mutually exclusive, so the serving
+# warp shares one gather between them; see stages.warp_planes_to_crop).
+OPPOSITE_PAIR = (3, 4)  # (front, back) indices in TEXTURE_PLANES
 NUM_TEXTURE_PLANES = TEXTURE_PLANES.shape[0]
 
 

@@ -1,9 +1,12 @@
 """Focused semantics tests for the pipeline's fused plane warp.
 
-warp_planes_to_crop merges the left/right side planes into ONE gather (they are
-opposite faces of the vehicle — the painter's-algorithm visibility never marks
-both visible at once). These tests exercise every *realizable* visibility
-combination: at most one side visible per pose.
+warp_planes_to_crop merges each opposite-face pair into ONE gather: left/right
+(with the reference's symmetry substitution) and front/back (no substitution —
+only the i->i warp exists, and at most one of the pair can be active). The
+painter's-algorithm visibility never marks both faces of a pair visible at
+once (test_front_back_never_covisible sweeps poses to pin this), so these
+tests exercise every *realizable* visibility combination: at most one side and
+one of front/back visible per pose.
 """
 import pytest
 import numpy as np
@@ -15,7 +18,7 @@ from future_urban_scene_generation_tpu.pipeline import stages
 
 rng = np.random.RandomState(70)
 
-LEFT, RIGHT = 0, 1
+LEFT, RIGHT, ROOF, FRONT, BACK = 0, 1, 2, 3, 4
 
 
 def _setup():
@@ -34,8 +37,11 @@ def _nonblack(plane):
     return np.abs(np.asarray(plane) - black).sum(-1) > 0.05
 
 
-def _vis(left, right, rest=True):
-    return jnp.asarray([left, right, rest, rest, rest])
+def _vis(left, right, rest=True, front=None, back=False):
+    # Realizable default: roof + front visible, back not (front/back are
+    # opposite faces — never co-visible, see test_front_back_never_covisible).
+    front = rest if front is None else front
+    return jnp.asarray([left, right, rest, front, back])
 
 
 def _warp(table, win, polys, src_vis, dst_vis):
@@ -48,8 +54,9 @@ def test_same_side_visible_fills_that_slot():
     assert out.shape == (5, 256, 256, 3)
     assert _nonblack(out[LEFT]).sum() > 100
     assert _nonblack(out[RIGHT]).sum() == 0
-    for p in range(2, 5):
+    for p in (ROOF, FRONT):
         assert _nonblack(out[p]).sum() > 100, p
+    assert _nonblack(out[BACK]).sum() == 0  # back invisible in this pose
 
 
 def test_symmetry_substitution_left_to_right():
@@ -85,11 +92,69 @@ def test_sides_invisible_in_dst_everywhere_black():
 def test_nonsymmetry_planes_require_both_sides():
     table, win, polys = _setup()
     # Roof (2) invisible in dst -> roof slot black even though src-visible.
-    src_vis = jnp.asarray([True, False, True, True, True])
-    dst_vis = jnp.asarray([True, False, False, True, True])
+    src_vis = jnp.asarray([True, False, True, True, False])
+    dst_vis = jnp.asarray([True, False, False, True, False])
     out = _warp(table, win, polys, src_vis, dst_vis)
-    assert _nonblack(out[2]).sum() == 0
-    assert _nonblack(out[3]).sum() > 100
+    assert _nonblack(out[ROOF]).sum() == 0
+    assert _nonblack(out[FRONT]).sum() > 100
+
+
+def test_front_back_merge_back_slot():
+    table, win, polys = _setup()
+    # Back visible in src and dst (front not) -> back slot fills, front black.
+    out = _warp(table, win, polys, _vis(True, False, front=False, back=True),
+                _vis(True, False, front=False, back=True))
+    assert _nonblack(out[BACK]).sum() > 100
+    assert _nonblack(out[FRONT]).sum() == 0
+
+
+def test_front_back_no_cross_substitution():
+    table, win, polys = _setup()
+    # src sees FRONT, dst sees BACK: the reference warps a non-symmetry plane
+    # only src slot i -> dst slot i (planes_utils.py:58-60), so BOTH slots stay
+    # black (front: dst-invisible; back: src-invisible).
+    out = _warp(table, win, polys, _vis(True, False, front=True, back=False),
+                _vis(True, False, front=False, back=True))
+    assert _nonblack(out[FRONT]).sum() == 0
+    assert _nonblack(out[BACK]).sum() == 0
+
+
+def test_front_back_never_covisible():
+    """The precondition of the shared front/back gather: the painter's 0.9-area
+    rule never marks both of an opposite-face pair visible. Sweeps camera
+    elevation (incl. extreme top-down, where the side pair IS co-visible) x
+    yaw x distance. A wider offline sweep (2184 poses incl. az/el/dist/yaw
+    cross-products) also found zero front&back co-visibility."""
+    from future_urban_scene_generation_tpu.utils import mesh as mu
+    from future_urban_scene_generation_tpu.render import visibility as vis
+    from future_urban_scene_generation_tpu.geometry.rotations import x_rot, z_rot
+    from future_urban_scene_generation_tpu.geometry.projection import (
+        project_points_extrinsic,
+    )
+    import itertools
+    import jax
+
+    _, kp = mu.make_test_car(subdiv=2)
+    kp3d = jnp.asarray(np.asarray(kp, np.float32) * 5.0)
+    K = jnp.asarray(np.array([[1400., 0, 960], [0, 1400., 540], [0, 0, 1]],
+                             np.float32))
+
+    def one(a):
+        el, dist, yaw = a[0], a[1], a[2]
+        R = x_rot(el) @ z_rot(jnp.float32(0.4))
+        ext = (jnp.eye(4).at[:3, :3].set(R)
+               .at[:3, 3].set(jnp.stack([jnp.float32(0.), jnp.float32(2.0), dist])))
+        kp3 = kp3d @ z_rot(yaw)
+        kp2 = project_points_extrinsic(kp3, K, ext)
+        return vis.compute_visibility_local(ext, kp2, kp3, res=96)
+
+    els = [-np.pi / 2.4, -np.pi / 2.05, -np.pi / 6]
+    dists = [12., 40.]
+    yaws = np.linspace(0, 2 * np.pi, 17)
+    grid = np.array(list(itertools.product(els, dists, yaws)), np.float32)
+    v = np.asarray(jax.jit(jax.vmap(one))(jnp.asarray(grid)))
+    front, back = vis.OPPOSITE_PAIR
+    assert int((v[:, front] & v[:, back]).sum()) == 0
 
 
 def test_masked_region_is_lab_black():
