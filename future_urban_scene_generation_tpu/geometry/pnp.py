@@ -75,6 +75,50 @@ def _residual(params, points3d, points2d, focals, centers):
     return (pred - points2d).reshape(-1)
 
 
+def _cholesky_solve_6(a_mat: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve the SPD 6x6 system `a_mat @ x = b` by fully unrolled Cholesky.
+
+    The LM normal matrix J^T J + lam*I is symmetric positive (semi-)definite, so
+    Cholesky is the right factorization — and a fixed-size unrolled one is a pure
+    elementwise/scalar op chain that XLA fuses into the surrounding LM iteration,
+    unlike `jnp.linalg.solve`, whose LU lowering embeds row-pivoting while-loops
+    inside the (already latency-bound) outer `lax.while_loop`. A non-SPD matrix
+    yields sqrt-of-negative/div-by-zero NaNs, which the caller's finiteness gate
+    maps to the reference's singular-solve break (utils/cpc.py:103-110).
+    """
+    n = 6
+    # Column-by-column factorization; rows/cols are static Python ints so every
+    # operation below is a scalar (or vmapped-batch) fused multiply-add.
+    l_cols = [[None] * n for _ in range(n)]  # l_cols[i][j] = L[i, j], i >= j
+    for j in range(n):
+        s = a_mat[j, j]
+        for k in range(j):
+            s = s - l_cols[j][k] * l_cols[j][k]
+        diag = jnp.sqrt(s)
+        l_cols[j][j] = diag
+        inv_diag = 1.0 / diag
+        for i in range(j + 1, n):
+            s = a_mat[i, j]
+            for k in range(j):
+                s = s - l_cols[i][k] * l_cols[j][k]
+            l_cols[i][j] = s * inv_diag
+    # Forward substitution L y = b.
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - l_cols[i][k] * y[k]
+        y[i] = s / l_cols[i][i]
+    # Back substitution L^T x = y.
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - l_cols[k][i] * x[k]
+        x[i] = s / l_cols[i][i]
+    return jnp.stack(x)
+
+
 @full_precision
 def lm_pnp_single(
     points3d: jnp.ndarray,
@@ -114,7 +158,7 @@ def lm_pnp_single(
         lam = jnp.where(s.it == 0, 1e-8 * jnp.max(jnp.diag(jtj)), s.lam)
 
         a_mat = jtj + lam * jnp.eye(6, dtype=jtj.dtype)
-        upd = -jnp.linalg.solve(a_mat, jac.T @ err)
+        upd = -_cholesky_solve_6(a_mat, jac.T @ err)
         solve_bad = jnp.logical_not(jnp.all(jnp.isfinite(upd)))
 
         broke = collapse | solve_bad
