@@ -20,6 +20,7 @@ from torch's NCHW/OIHW done once at checkpoint-conversion time.
 """
 from __future__ import annotations
 
+from contextlib import contextmanager as _contextmanager
 from typing import Optional, Tuple
 
 import jax
@@ -137,6 +138,91 @@ def _pallas_kernels_enabled() -> bool:
         return True
 
 
+_QUANT_SUPPRESS = 0  # trace-time depth counter — see suppress_quantization()
+
+
+@_contextmanager
+def suppress_quantization():
+    """Trace-time scope that keeps convs on the float path regardless of
+    MODEL_SPEC["quantized_convs"]. VUNet's decoder is weight-normed with no
+    post-conv renormalization, so per-conv int8 rounding compounds through the
+    stack (measured 20.1 dB vs f32 even with per-channel activation scales —
+    below the serving quality bar); stages wraps the VUNet forwards in this
+    scope so the int8 tier quantizes only the trunks that hold quality (ICN's
+    instance-normed resnet re-centers after every conv: >27 dB)."""
+    global _QUANT_SUPPRESS
+    _QUANT_SUPPRESS += 1
+    try:
+        yield
+    finally:
+        _QUANT_SUPPRESS -= 1
+
+
+def _quantized_convs_enabled():
+    """Trace-time read of MODEL_SPEC["quantized_convs"] (spec_key() makes any
+    flip a retrace, exactly like the pallas_kernels knob above)."""
+    if _QUANT_SUPPRESS:
+        return False
+    try:
+        from future_urban_scene_generation_tpu.pipeline.stages import MODEL_SPEC
+
+        return bool(MODEL_SPEC.get("quantized_convs", False))
+    except Exception:
+        return False
+
+
+def _int8_conv(x, w, stride: int, padding: int, dilation: int = 1):
+    """Post-training-quantized conv: int8 MXU pass with dynamic scales.
+
+    v5e's MXU runs int8 at ~2x the bf16 rate; the generator trunks (ICN resnet
+    blocks, VUNet decoder) are conv-compute-bound, so this is the serving
+    throughput lever past bf16. Symmetric quantization, zero-point free:
+    a per-INPUT-CHANNEL activation scale taken from the live max-abs
+    (self-calibrating — no calibration corpus, correct for any checkpoint),
+    folded exactly into the weight before the per-OUTPUT-CHANNEL weight
+    quantization: y = sum_c (x_c/s_c)(s_c w_c) — the contraction is invariant,
+    so per-channel activation ranges cost nothing (per-TENSOR activation
+    scales measured 18.5 dB on VUNet's weight-normed decoder, whose channel
+    ranges vary wildly; per-channel reads the same activation bytes and the
+    fold touches only the tiny weight tensor). The int32 accumulator is
+    exact, so the only error is the two roundings; quality is pinned in
+    tests/test_int8_inference.py and the knob (MODEL_SPEC["quantized_convs"])
+    is OFF by default — the parity/crossval tiers always run the float path.
+    """
+    ax = tuple(range(x.ndim - 1))
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(x), axis=ax).astype(jnp.float32), 1e-12
+    ) * (1.0 / 127.0)  # (C_in,)
+    w_eff = w.astype(jnp.float32) * sx[None, None, :, None]
+    sw = jnp.maximum(
+        jnp.max(jnp.abs(w_eff), axis=(0, 1, 2)), 1e-12
+    ) * (1.0 / 127.0)  # (C_out,)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+    wq = jnp.clip(jnp.round(w_eff / sw), -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        xq,
+        wq,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * sw).astype(x.dtype)
+
+
+def _int8_eligible(x, w):
+    """int8 only pays where the MXU is the bottleneck: both channel axes wide
+    enough to tile (the lane-starved stems keep their Pallas/packed paths, and
+    tiny heads aren't worth the quantize/dequantize passes)."""
+    return (
+        _quantized_convs_enabled()
+        and x.dtype in (jnp.bfloat16, jnp.float32)
+        and x.shape[-1] >= 32
+        and w.shape[-1] >= 32
+    )
+
+
 def _dispatch_conv_impl(x, w, stride: int, padding: int, dilation: int = 1):
     """Route a conv through the Pallas small-C_in kernel when it wins.
 
@@ -177,6 +263,8 @@ def _dispatch_conv_impl(x, w, stride: int, padding: int, dilation: int = 1):
         if padding:
             x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
         return conv_small_cin(x, w)
+    if _int8_eligible(x, w):
+        return _int8_conv(x, w, stride, padding, dilation)
     # Output packing applies only to genuinely tiny C_out heads: relaxing the
     # gate to k*C_out <= 128 (capturing VUNet's 3x3 C_out=32 residual convs)
     # measured NO win (71.3 vs 73.5 fps) — those convs are input-bound at
@@ -665,7 +753,10 @@ def upconv2x_nearest_reflect(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray
     ]
     kp = jnp.concatenate(phases, axis=-1).astype(x.dtype)  # (3, 3, C, 4*O)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
-    y4 = _xla_conv(xp, kp, 1, 0)  # (N, H, W, 4*O), groups ordered (a, b, o)
+    # The phase-packed contraction is the stage's MXU bulk — quantize it under
+    # the int8 serving tier like every other trunk conv (borders stay float).
+    main_conv = _int8_conv if _int8_eligible(xp, kp) else _xla_conv
+    y4 = main_conv(xp, kp, 1, 0)  # (N, H, W, 4*O), groups ordered (a, b, o)
     y = (
         y4.reshape(n, h, w, 2, 2, o)
         .transpose(0, 1, 3, 2, 4, 5)

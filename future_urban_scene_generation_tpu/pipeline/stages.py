@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from future_urban_scene_generation_tpu.geometry import pnp
 from future_urban_scene_generation_tpu.geometry.rotations import z_rot
 from future_urban_scene_generation_tpu.geometry.trajectory import rollout_from_meters
+from future_urban_scene_generation_tpu.models import layers
 from future_urban_scene_generation_tpu.models.hourglass import HourglassNet, decode_heatmaps
 from future_urban_scene_generation_tpu.models.icn import GResnet
 from future_urban_scene_generation_tpu.models.vgg import VGG19Classifier
@@ -116,6 +117,15 @@ MODEL_SPEC = {
     # NamedSharding mesh (they could fail to partition or silently replicate);
     # single-chip serving keeps them on.
     "pallas_kernels": True,
+    # int8 post-training-quantized generator convs (models/layers._int8_conv):
+    # symmetric dynamic per-input-channel activation scales folded into
+    # per-output-channel weight scales, feeding the MXU's double-rate
+    # s8xs8->s32 path. Opt-in serving tier covering the instance-normed trunks
+    # (ICN, EdgeConnect); VUNet forwards are wrapped in
+    # layers.suppress_quantization() (no renorm between its weight-normed
+    # convs — rounding compounds, measured 20 dB). Quality pinned in
+    # tests/test_int8_inference.py; speed/quality trade in docs/SERVING.md.
+    "quantized_convs": False,
 }
 
 
@@ -540,9 +550,12 @@ def vunet_encode_appearance_batch(models: Models, frame, src_sketches, src_masks
         sketches = _maybe_flip_rgb(src_sketches)  # trajectory_inference.py:225-227
         x = jnp.concatenate([masked * 2.0 - 1.0, sketches * 2.0 - 1.0], axis=-1)
         x = x.astype(_generator_dtype())
-        return vunet_model.apply(
-            models.vunet_params, x, cov=0.0, method=Vunet.encode_appearance
-        )
+        # int8 tier: VUNet stays float — its weight-normed stack compounds
+        # per-conv rounding (layers.suppress_quantization docstring).
+        with layers.suppress_quantization():
+            return vunet_model.apply(
+                models.vunet_params, x, cov=0.0, method=Vunet.encode_appearance
+            )
 
 
 def vunet_synthesize(models: Models, dst_sketch, mu_app):
@@ -559,9 +572,10 @@ def vunet_decode_batch(models: Models, dst_sketches, mu_app):
         dtype = _generator_dtype()
         y_tilde = (_maybe_flip_rgb(dst_sketches) * 2.0 - 1.0).astype(dtype)
         mu_app = jax.tree_util.tree_map(lambda a: a.astype(dtype), mu_app)
-        out = vunet_model.apply(
-            models.vunet_params, y_tilde, mu_app, cov=0.0, method=Vunet.decode_shape
-        )
+        with layers.suppress_quantization():
+            out = vunet_model.apply(
+                models.vunet_params, y_tilde, mu_app, cov=0.0, method=Vunet.decode_shape
+            )
         out = out.astype(jnp.float32)
         return jnp.clip((out + 1.0) / 2.0, 0.0, 1.0)
 
