@@ -29,7 +29,7 @@ import time
 import numpy as np
 
 
-def setup_scene(V: int):
+def setup_scene(V: int, quantized: bool = False):
     """Build the bench's scene inputs + random-init models (shared with
     tools/scene_profile.py). Returns (models, cad_bank, frame, background,
     bboxes, meters, K, H, W, T). Applies the production serving config
@@ -63,7 +63,13 @@ def setup_scene(V: int):
     # (compute_visibility_local: area ratios are affine-invariant; pose-sweep
     # agreement with the full-resolution raster 831/840 —
     # test_visibility_planes.py::test_visibility_local_matches_frame).
-    configure_models(generator_dtype="bfloat16", warp_plane_res=128)
+    configure_models(
+        generator_dtype="bfloat16", warp_plane_res=128,
+        # Optional int8 tier (--quantized): ICN trunk convs on the MXU's
+        # double-rate s8 path (313 vs 182 TOPS measured, tools/probe_int8_conv
+        # + slope probe); quality pinned in tests/test_int8_inference.py.
+        quantized_convs=quantized,
+    )
     from future_urban_scene_generation_tpu.geometry.rotations import x_rot, z_rot
     from future_urban_scene_generation_tpu.pipeline import runner, stages
     from future_urban_scene_generation_tpu.utils import mesh as mu
@@ -139,6 +145,11 @@ def main(argv=None):
     ap.add_argument("--vehicles", type=int, default=4,
                     help="vehicle count V (the driver runs the default; other "
                          "values feed the V-scaling table in README)")
+    ap.add_argument("--quantized", action="store_true",
+                    help="int8 serving tier (MODEL_SPEC['quantized_convs']): "
+                         "ICN trunk convs on the double-rate int8 MXU path; "
+                         "quality tier in tests/test_int8_inference.py. The "
+                         "driver-recorded headline stays the bf16 tier.")
     args = ap.parse_args(argv)
     V = args.vehicles  # vehicles (default 4 — the driver-recorded config)
 
@@ -147,7 +158,9 @@ def main(argv=None):
 
     from future_urban_scene_generation_tpu.pipeline import runner
 
-    models, cad_bank, frame, background, bboxes, meters, K, H, W, T = setup_scene(V)
+    models, cad_bank, frame, background, bboxes, meters, K, H, W, T = setup_scene(
+        V, quantized=args.quantized
+    )
 
     run = lambda f: runner.run_scene(  # noqa: E731 — FULL path incl. perception
         models, cad_bank, f, background, bboxes, meters, jnp.asarray(K),
@@ -234,6 +247,7 @@ def main(argv=None):
                 "scenes_per_sec": round(1.0 / dt, 3),
                 "cad_triangles": int(cad_bank.triangles.shape[1]),
                 "n_cads": int(cad_bank.vertices.shape[0]),
+                "tier": "bf16+int8" if args.quantized else "bf16",
             }
         )
     )

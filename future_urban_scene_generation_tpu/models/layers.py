@@ -211,6 +211,33 @@ def _int8_conv(x, w, stride: int, padding: int, dilation: int = 1):
     return (acc.astype(jnp.float32) * sw).astype(x.dtype)
 
 
+def _int8_conv_transpose(x, w, pad_lo: int, pad_hi: int, stride: int):
+    """Transposed-conv variant of :func:`_int8_conv` (input-dilated forward
+    conv with pre-flipped kernel, matching TorchConvTranspose's lowering).
+    Same quantization scheme; the zero rows/cols injected by lhs_dilation
+    quantize exactly (0 -> 0), so only the two roundings differ from float."""
+    ax = tuple(range(x.ndim - 1))
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(x), axis=ax).astype(jnp.float32), 1e-12
+    ) * (1.0 / 127.0)
+    w_eff = w.astype(jnp.float32) * sx[None, None, :, None]
+    sw = jnp.maximum(
+        jnp.max(jnp.abs(w_eff), axis=(0, 1, 2)), 1e-12
+    ) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+    wq = jnp.clip(jnp.round(w_eff / sw), -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        xq,
+        wq,
+        window_strides=(1, 1),
+        padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * sw).astype(x.dtype)
+
+
 def _int8_eligible(x, w):
     """int8 only pays where the MXU is the bottleneck: both channel axes wide
     enough to tile (the lane-starved stems keep their Pallas/packed paths, and
@@ -397,14 +424,17 @@ class TorchConvTranspose(nn.Module):
         w = jnp.flip(kernel, axis=(0, 1)).astype(x.dtype)
         lo = k - 1 - self.padding
         hi = k - 1 - self.padding + self.output_padding
-        out = jax.lax.conv_general_dilated(
-            x,
-            w,
-            window_strides=(1, 1),
-            padding=((lo, hi), (lo, hi)),
-            lhs_dilation=(self.stride, self.stride),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if _int8_eligible(x, w):
+            out = _int8_conv_transpose(x, w, lo, hi, self.stride)
+        else:
+            out = jax.lax.conv_general_dilated(
+                x,
+                w,
+                window_strides=(1, 1),
+                padding=((lo, hi), (lo, hi)),
+                lhs_dilation=(self.stride, self.stride),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out + bias.astype(out.dtype)

@@ -138,6 +138,26 @@ def test_int8_icn_quality(models):
 
 
 @pytest_slow
+def test_int8_edgeconnect_quality():
+    """EdgeConnect's inpaint generator is instance-normed like ICN, so the
+    int8 tier covers it (encoder + dilated resnet trunk through TorchConv,
+    decoder through the TorchConvTranspose int8 branch)."""
+    from future_urban_scene_generation_tpu.models.edgeconnect import InpaintGenerator
+
+    gm = InpaintGenerator()
+    x = jnp.asarray(rng.rand(1, 256, 256, 4).astype(np.float32))
+    params = jax.jit(gm.init)(jax.random.PRNGKey(2), x)
+    f32 = gm.apply(params, x)
+    stages.configure_models(quantized_convs=True)
+    try:
+        q = gm.apply(params, x)
+    finally:
+        stages.configure_models(quantized_convs=False)
+    psnr = _psnr(f32, q)
+    assert psnr > 27.0, psnr
+
+
+@pytest_slow
 def test_int8_vunet_suppressed(models):
     """VUNet stays on the float path under the int8 tier: its weight-normed
     stack has no post-conv renormalization, so per-conv rounding compounds —

@@ -89,6 +89,8 @@ def main(argv=None):
     ap.add_argument("--vehicles", type=int, default=4)
     ap.add_argument("--out", default=None, help="trace dir (default: temp)")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--quantized", action="store_true",
+                    help="profile the int8 serving tier (bench --quantized)")
     ap.add_argument(
         "--platform", default=None, choices=("cpu",),
         help="force the CPU backend — plumbing check only: CPU traces carry "
@@ -105,7 +107,7 @@ def main(argv=None):
     import bench
 
     models, cad_bank, frame, background, bboxes, meters, K, H, W, T = (
-        bench.setup_scene(args.vehicles)
+        bench.setup_scene(args.vehicles, quantized=args.quantized)
     )
     from future_urban_scene_generation_tpu.pipeline import runner
 
