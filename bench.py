@@ -200,6 +200,14 @@ def main(argv=None):
     # still read back on host (nothing is dropped or left unverified); the
     # pipeline only overlaps the read with the next execution, so the steady
     # state measures device throughput instead of device + tunnel round trip.
+    #
+    # ENQUEUE ORDER MATTERS on the FIFO device queue: each scene's checksum
+    # program is enqueued (async) immediately BEHIND its scene, and the host
+    # only BLOCKS on it one iteration later. The previous protocol called
+    # jnp.sum(prev) after dispatching scene i, which placed sum_{i-1} behind
+    # scene_i in the FIFO — every read then waited for the *current* scene and
+    # the device sat idle one tunnel round trip per scene (measured: 129 ms/it
+    # against a 95-100 ms device wall from the profiler trace span).
     # Median of per-iteration times guards against contended iterations; two
     # disclosed rounds (best wins) guard against a whole contended round
     # (observed once: 3.9 "fps" for a program that measures ~70 before/after —
@@ -212,15 +220,19 @@ def main(argv=None):
         ]
         jax.block_until_ready(frames)
         times = []
-        prev = None
+        pending = []  # async checksum scalars, oldest first
         for f in frames:
             t0 = time.perf_counter()
             result = run(f)
-            if prev is not None:
-                checksum += read_scalar(prev)
-            prev = result
+            # Enqueue the 4-byte checksum right behind its own scene (async —
+            # jnp.sum dispatches without blocking)...
+            pending.append(jnp.sum(result.frames_icn[0, ::64, ::64, 0]))
+            # ...and block on the PREVIOUS scene's checksum, which already ran.
+            if len(pending) > 1:
+                checksum += float(pending.pop(0))
             times.append(time.perf_counter() - t0)
-        checksum += read_scalar(prev)  # drain the pipeline
+        while pending:  # drain the pipeline
+            checksum += float(pending.pop(0))
         # First iteration has no overlapped read; drop it, median the rest.
         times = sorted(times[1:])
         medians.append(times[len(times) // 2])
