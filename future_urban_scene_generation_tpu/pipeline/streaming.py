@@ -141,14 +141,24 @@ class TrackingStreamRunner(StreamRunner):
     scene program is enqueued behind it, and only the mask/box readback blocks.
 
     detector: callable frame -> (boxes (N, 4) xyxy, scores (N,)) — e.g.
-        tracking.BackgroundDiffDetector / tracking.MaskRCNNDetector.
+        tracking.BackgroundDiffDetector / tracking.MaskRCNNDetector. When the
+        detector exposes split ``dispatch(frame)`` / ``finalize(handle)``
+        methods (both built-ins do) and ``overlap_detect`` is on, the runner
+        enqueues frame t's detection and reads frame t-1's instead: a
+        synchronous read would sit BEHIND the previous scene program on the
+        FIFO device queue, serializing detection with synthesis and idling
+        the chip a host round trip per frame. Tracks then update one frame
+        late and the scene uses each track's constant-velocity PREDICTED box
+        — the same prediction the tracker already coasts with on a missed
+        detection, i.e. a one-frame coast, not a new approximation.
     inv_homography: pixel -> GPS matrix (utils/video.py calibration), or None to
         treat the pixel plane as the ground plane (synthetic scenes).
     """
 
     def __init__(self, models, cad_bank, intrinsic, frame_hw, n_vehicles,
                  detector=None, inv_homography=None, stride: int = 2,
-                 min_track_frames: int = 3, tracker=None, **kwargs):
+                 min_track_frames: int = 3, tracker=None,
+                 overlap_detect: bool = True, **kwargs):
         super().__init__(models, cad_bank, intrinsic, frame_hw, n_vehicles, **kwargs)
         from future_urban_scene_generation_tpu.pipeline.tracking import IouTracker
 
@@ -156,13 +166,32 @@ class TrackingStreamRunner(StreamRunner):
         self.tracker = tracker or IouTracker(min_hits=min_track_frames)
         self.inv_homography = inv_homography
         self.stride = stride
+        self.overlap_detect = bool(overlap_detect)
+        self._pending_detect = None
+
+    def _confirmed(self):
+        conf = getattr(self.tracker, "confirmed", None)
+        return conf() if callable(conf) else []
+
+    def flush(self):
+        self._pending_detect = None  # never synthesized; safe to drop
+        return super().flush()
 
     def submit_frame(self, frame: np.ndarray, background: Optional[np.ndarray] = None):
         """One streaming step from a raw frame. Returns (result-or-None, tracks)."""
         from future_urban_scene_generation_tpu.pipeline import tracking as trk
 
         frame_d = self._upload(frame)  # device work for detect + scene, uploaded once
-        boxes, _scores = self.detector(frame_d)
+        overlapped = self.overlap_detect and hasattr(self.detector, "dispatch")
+        if overlapped:
+            handle = self.detector.dispatch(frame_d)
+            prev = self._pending_detect
+            self._pending_detect = handle
+            if prev is None:  # first frame: nothing to finalize yet
+                return None, self._confirmed()
+            boxes, _scores = self.detector.finalize(prev)
+        else:
+            boxes, _scores = self.detector(frame_d)
         confirmed = self.tracker.update(boxes)
 
         sel_boxes, sel_meters = [], []
@@ -172,7 +201,9 @@ class TrackingStreamRunner(StreamRunner):
             )
             if meters is None:
                 continue
-            sel_boxes.append(t.bbox)
+            # Overlapped mode: tracks are current through frame t-1; coast one
+            # frame forward so the crop follows the vehicle in frame t.
+            sel_boxes.append(t.predicted_bbox() if overlapped else t.bbox)
             sel_meters.append(meters)
             if len(sel_boxes) == self.n_vehicles:
                 break

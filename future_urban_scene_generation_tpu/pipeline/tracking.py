@@ -67,8 +67,18 @@ class BackgroundDiffDetector:
 
         self._mask = _mask
 
-    def __call__(self, frame) -> Tuple[np.ndarray, np.ndarray]:
-        grid = np.asarray(self._mask(frame))
+    def dispatch(self, frame):
+        """Enqueue the device mask pass (async); returns a handle for finalize.
+
+        Splitting dispatch from the host readback lets the streaming runner
+        enqueue frame t's detection, then read frame t-1's (already complete)
+        — reading right after dispatching would block behind everything ahead
+        of it on the FIFO device queue (the previous scene program)."""
+        return self._mask(frame)
+
+    def finalize(self, grid_dev) -> Tuple[np.ndarray, np.ndarray]:
+        """Block on a dispatch() handle and extract boxes (host union-find)."""
+        grid = np.asarray(grid_dev)
         boxes = _connected_component_boxes(grid, self.min_cells)
         s = float(self.scale)
         out = np.asarray(
@@ -78,6 +88,9 @@ class BackgroundDiffDetector:
         scores = np.asarray([a for *_, a in boxes], np.float32)
         order = np.argsort(-scores)[: self.max_boxes]
         return out[order], scores[order]
+
+    def __call__(self, frame) -> Tuple[np.ndarray, np.ndarray]:
+        return self.finalize(self.dispatch(frame))
 
 
 def _connected_component_boxes(grid: np.ndarray, min_cells: int):
@@ -164,10 +177,14 @@ class MaskRCNNDetector:
                                         model=self.model)
         )
 
-    def __call__(self, frame) -> Tuple[np.ndarray, np.ndarray]:
-        h, w = frame.shape[0], frame.shape[1]
+    def dispatch(self, frame):
+        """Enqueue the resize+detect program (async); handle for finalize —
+        same FIFO-queue rationale as BackgroundDiffDetector.dispatch."""
+        return self._infer(self.params, frame), (frame.shape[0], frame.shape[1])
+
+    def finalize(self, handle) -> Tuple[np.ndarray, np.ndarray]:
+        det, (h, w) = handle
         ih, iw = self.input_hw
-        det = self._infer(self.params, frame)
         boxes = np.array(det.boxes, np.float32)  # copy: device views are read-only
         boxes *= np.asarray([w / iw, h / ih, w / iw, h / ih], np.float32)
         labels = np.asarray(det.labels)
@@ -175,6 +192,9 @@ class MaskRCNNDetector:
         valid = np.asarray(det.valid)
         keep = valid & (scores >= self.score_threshold) & np.isin(labels, self.classes)
         return boxes[keep], scores[keep]
+
+    def __call__(self, frame) -> Tuple[np.ndarray, np.ndarray]:
+        return self.finalize(self.dispatch(frame))
 
 
 # ---------------------------------------------------------------------------

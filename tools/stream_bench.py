@@ -21,6 +21,9 @@ import numpy as np
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--detector", default="bgdiff", choices=["bgdiff", "maskrcnn"])
+ap.add_argument("--no-overlap", action="store_true",
+                help="A/B: synchronous per-frame detector readback instead of "
+                     "the overlapped dispatch/finalize split")
 args = ap.parse_args()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -62,14 +65,27 @@ if args.detector == "maskrcnn":
     _mrcnn_det = trk.MaskRCNNDetector(_mrcnn_params, model=_mrcnn)
     _bgdiff = detector
 
-    def detector(frame):  # noqa: F811 — union, see module docstring
-        boxes, scores = _mrcnn_det(frame)
-        fb_boxes, fb_scores = _bgdiff(frame)
-        return (np.concatenate([boxes, fb_boxes])[:V],
-                np.concatenate([scores, fb_scores])[:V])
+    class _UnionDetector:  # union, see module docstring
+        """Dispatch/finalize split so TrackingStreamRunner can overlap the
+        (expensive) detector pass with the previous scene's synthesis."""
+
+        def dispatch(self, frame):
+            return _mrcnn_det.dispatch(frame), _bgdiff.dispatch(frame)
+
+        def finalize(self, handle):
+            boxes, scores = _mrcnn_det.finalize(handle[0])
+            fb_boxes, fb_scores = _bgdiff.finalize(handle[1])
+            return (np.concatenate([boxes, fb_boxes])[:V],
+                    np.concatenate([scores, fb_scores])[:V])
+
+        def __call__(self, frame):
+            return self.finalize(self.dispatch(frame))
+
+    detector = _UnionDetector()  # noqa: F811
 stream = streaming.TrackingStreamRunner(
     models, cad_bank, K, (H, W), n_vehicles=V, n_steps=S,
     depth=2, detector=detector, inv_homography=None, min_track_frames=2,
+    overlap_detect=not args.no_overlap,
 )
 
 def make_frame(t):
