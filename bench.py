@@ -29,11 +29,11 @@ import time
 import numpy as np
 
 
-def setup_scene(V: int, quantized: bool = False):
+def setup_scene(V: int, quantized: bool = False, warp_res: int = 96):
     """Build the bench's scene inputs + random-init models (shared with
     tools/scene_profile.py). Returns (models, cad_bank, frame, background,
     bboxes, meters, K, H, W, T). Applies the production serving config
-    (bf16 generators, 128-res plane warps) and the persistent compile cache."""
+    (bf16 generators, 96-res plane warps) and the persistent compile cache."""
     import os
 
     import jax
@@ -55,16 +55,19 @@ def setup_scene(V: int, quantized: bool = False):
 
     # Production serving config: generators in bf16 (params f32, norms f32 — see
     # MODEL_SPEC["generator_dtype"]; quality pinned by tests/test_bf16_inference.py
-    # at >=35 dB PSNR vs f32) and reduced-res plane warps (gather an 128^2 grid
+    # at >=35 dB PSNR vs f32) and reduced-res plane warps (gather a 96^2 grid
     # over each plane's dst bbox + one scale_and_translate paste — the extra
     # bilinear resample mirrors the reference's own warp->crop->resize chain;
-    # semantics + quality pinned by tests/test_warp_planes.py). Visibility
+    # semantics + quality pinned by tests/test_warp_planes.py; end-to-end
+    # composited-frame PSNR vs the exact r=256 path: 31.5 dB at r=96 vs
+    # 31.6 dB at r=128 — the warp resolution is not the quality floor, and
+    # r=96 benches ~6% faster than r=128: 137.0 vs 129.1 fps). Visibility
     # rasters in a scale-free 192^2 local window per vehicle-step
     # (compute_visibility_local: area ratios are affine-invariant; pose-sweep
     # agreement with the full-resolution raster 831/840 —
     # test_visibility_planes.py::test_visibility_local_matches_frame).
     configure_models(
-        generator_dtype="bfloat16", warp_plane_res=128,
+        generator_dtype="bfloat16", warp_plane_res=warp_res,
         # Optional int8 tier (--quantized): ICN trunk convs on the MXU's
         # double-rate s8 path (313 vs 182 TOPS measured, tools/probe_int8_conv
         # + slope probe); quality pinned in tests/test_int8_inference.py.
@@ -145,6 +148,9 @@ def main(argv=None):
     ap.add_argument("--vehicles", type=int, default=4,
                     help="vehicle count V (the driver runs the default; other "
                          "values feed the V-scaling table in README)")
+    ap.add_argument("--warp-res", type=int, default=96,
+                    help="MODEL_SPEC['warp_plane_res'] A/B knob (serving "
+                         "default 96; the driver-recorded headline uses it)")
     ap.add_argument("--quantized", action="store_true",
                     help="int8 serving tier (MODEL_SPEC['quantized_convs']): "
                          "ICN trunk convs on the double-rate int8 MXU path; "
@@ -159,7 +165,7 @@ def main(argv=None):
     from future_urban_scene_generation_tpu.pipeline import runner
 
     models, cad_bank, frame, background, bboxes, meters, K, H, W, T = setup_scene(
-        V, quantized=args.quantized
+        V, quantized=args.quantized, warp_res=args.warp_res
     )
 
     run = lambda f: runner.run_scene(  # noqa: E731 — FULL path incl. perception

@@ -211,10 +211,12 @@ def _smooth_frame():
 
 
 @pytest.mark.slow  # >10s: big torch build / heavy sweep
-def test_reduced_res_warp_semantics_and_quality():
-    """warp_plane_res=128: same slot/symmetry/black semantics, and close to the
-    exact path on smooth textures (the extra resample mirrors the reference's own
-    warp->crop->resize chain)."""
+@pytest.mark.parametrize("warp_res", [128, 96])
+def test_reduced_res_warp_semantics_and_quality(warp_res):
+    """warp_plane_res=128/96: same slot/symmetry/black semantics, and close to
+    the exact path on smooth textures (the extra resample mirrors the reference's
+    own warp->crop->resize chain). 96 is the benched serving default (end-to-end
+    composited-frame PSNR measured flat from 128 to 96 — see PARITY.md §3)."""
     frame = _smooth_frame()
     win = cr.Window(jnp.float32(50), jnp.float32(50), jnp.float32(300), jnp.float32(300))
     table = pack_bilinear_table(
@@ -234,7 +236,7 @@ def test_reduced_res_warp_semantics_and_quality():
     exact = np.asarray(
         stages.warp_planes_to_crop(table, win, src_polys, dst_polys, sv, dv, win)
     )
-    stages.configure_models(warp_plane_res=128)
+    stages.configure_models(warp_plane_res=warp_res)
     try:
         fast = np.asarray(
             stages.warp_planes_to_crop(table, win, src_polys, dst_polys, sv, dv, win)

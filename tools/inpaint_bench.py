@@ -61,7 +61,7 @@ def main():
     from future_urban_scene_generation_tpu.pipeline.stages import configure_models
     from future_urban_scene_generation_tpu.utils import mesh as mu
 
-    configure_models(generator_dtype="bfloat16", warp_plane_res=128)
+    configure_models(generator_dtype="bfloat16", warp_plane_res=96)
 
     H, W = 720, 1280  # reference working resolution (GUI/app_interface.py:181)
     V, T = 4, 6

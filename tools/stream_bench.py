@@ -32,7 +32,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 from future_urban_scene_generation_tpu.pipeline.stages import configure_models
-configure_models(generator_dtype="bfloat16", warp_plane_res=128)
+configure_models(generator_dtype="bfloat16", warp_plane_res=96)
 from future_urban_scene_generation_tpu.pipeline import runner, stages, streaming
 from future_urban_scene_generation_tpu.pipeline import tracking as trk
 from future_urban_scene_generation_tpu.utils import mesh as mu
