@@ -285,11 +285,16 @@ def _dispatch_conv_impl(x, w, stride: int, padding: int, dilation: int = 1):
         and jax.default_backend() == "tpu"
         and _pallas_kernels_enabled()
     ):
-        from future_urban_scene_generation_tpu.ops.pallas_conv import conv_small_cin
+        from future_urban_scene_generation_tpu.ops.pallas_conv import (
+            conv_small_cin_v2,
+        )
 
         if padding:
             x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
-        return conv_small_cin(x, w)
+        # v2 = output-lane-packed kernel: 3.87 vs 7.97 ms/conv for the ICN
+        # stem at batch 24 on the chip (N = k*C_out = 448 output lanes per dot
+        # vs 64, and no per-tap lane shifts — see ops/pallas_conv.py).
+        return conv_small_cin_v2(x, w)
     if _int8_eligible(x, w):
         return _int8_conv(x, w, stride, padding, dilation)
     # Output packing applies only to genuinely tiny C_out heads: relaxing the

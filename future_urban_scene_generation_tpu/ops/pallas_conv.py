@@ -61,6 +61,90 @@ def _conv_kernel(x_ref, k_ref, o_ref, *, kk: int, cin: int, w_out: int,
     o_ref[0, :, :] = acc.astype(o_ref.dtype)
 
 
+def _conv_kernel_v2(x_ref, k_ref, o_ref, *, kk: int, cin: int, w_out: int,
+                    rows: int, wp: int):
+    """One (n, row-tile) step — kx packed into the OUTPUT lanes.
+
+    x_ref: (1, Hp, C, Wp) rows-major; k_ref: (kk*C, kk*O) with rows in
+    (ky, ci) order and cols in (kx, o) order; o_ref: (1, rows*w_out, O).
+
+    vs _conv_kernel: each dot emits N = kk*O lanes (448 for the ICN stem =
+    87.5% fill of the 128-lane output tiles, vs 64 = 50% for the per-ky
+    variant), and the im2col needs NO kx lane shifts — per output row the
+    (kk*C, Wp) tap matrix assembles from kk free major-dim picks + sublane
+    concat, and the kx taps are recovered afterwards by a kk-term shift-sum
+    over the partial-product table. The dot contracts the full padded width
+    Wp (w_out + kk - 1), a <3% MAC overhead at 256-wide tiles. (A single
+    merged (kk*C, rows*Wp) dot per tile is layout-illegal: Mosaic can't merge
+    a sublane dim into a non-128-aligned lane dim, and 3D dot_general is
+    likewise unsupported — hence the per-row loop.)
+    """
+    base = pl.program_id(1) * rows
+    slab = x_ref[0, pl.ds(base, rows + 8), :, :]  # (rows + 8, C, Wp)
+    cout = o_ref.shape[-1]
+    for r in range(rows):
+        # (kk*C, Wp): ky taps for output row r — major-dim picks, no shifts.
+        lhs = jnp.concatenate([slab[r + ky] for ky in range(kk)], axis=0)
+        p = jax.lax.dot_general(
+            lhs, k_ref[...],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Wp, kk*O): partial products for every kx at every width position
+        # y[u, o] = sum_kx p[u + kx, kx*O + o] — align each kx block back
+        # onto the output window and sum.
+        acc = p[0:w_out, 0:cout]
+        for kx in range(1, kk):
+            acc = acc + p[kx:kx + w_out, kx * cout:(kx + 1) * cout]
+        o_ref[0, pl.ds(r * w_out, w_out), :] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+def conv_small_cin_v2(x: jnp.ndarray, kernel: jnp.ndarray, rows: int = 8,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Stride-1 VALID conv, output-lane-packed variant (see _conv_kernel_v2).
+
+    x (N, Hp, Wp, C) -> (N, Hp-k+1, Wp-k+1, O). Same contract as
+    conv_small_cin; kernel layout differs ((ky,ci) x (kx,o) matrix).
+    """
+    n, hp, wp, cin = x.shape
+    kk = kernel.shape[0]
+    cout = kernel.shape[-1]
+    h_out = hp - kk + 1
+    w_out = wp - kk + 1
+
+    pad_h = (-h_out) % rows
+    extra = max(0, ((h_out + pad_h) - rows) + rows + 8 - (hp + pad_h))
+    if pad_h or extra:
+        x = jnp.pad(x, ((0, 0), (0, pad_h + extra), (0, 0), (0, 0)))
+        hp += pad_h + extra
+    n_tiles = (h_out + pad_h) // rows
+
+    xc = jnp.transpose(x, (0, 1, 3, 2))  # (N, Hp, C, Wp) — lanes = width
+    # (ky, kx, ci, o) -> rows (ky, ci), cols (kx, o).
+    kmat = jnp.transpose(kernel, (0, 2, 1, 3)).reshape(
+        kk * cin, kk * cout
+    ).astype(x.dtype)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _conv_kernel_v2, kk=kk, cin=cin, w_out=w_out, rows=rows, wp=wp
+        ),
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, hp, cin, wp), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((kk * cin, kk * cout), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows * w_out, cout), lambda i, j: (i, j, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, (h_out + pad_h) * w_out, cout), x.dtype
+        ),
+        interpret=interpret,
+    )(xc, kmat)
+    return out.reshape(n, h_out + pad_h, w_out, cout)[:, :h_out]
+
+
 @functools.partial(jax.jit, static_argnames=("rows", "interpret"))
 def conv_small_cin(x: jnp.ndarray, kernel: jnp.ndarray, rows: int = 8,
                    interpret: bool = False) -> jnp.ndarray:

@@ -232,6 +232,29 @@ def test_pallas_small_cin_conv_matches_lax():
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
 
 
+def test_pallas_small_cin_conv_v2_matches_lax():
+    """ops/pallas_conv.conv_small_cin_v2 (output-lane-packed stem kernel:
+    one dot per row tile with kx folded into the output lanes, recovered by a
+    k-term shift-sum) is numerically the same VALID conv — interpret mode on
+    CPU; the TPU path shares the kernel body."""
+    import jax
+
+    from future_urban_scene_generation_tpu.ops.pallas_conv import conv_small_cin_v2
+
+    rng = np.random.RandomState(7)
+    for (n, h, w, c, k, o, rows) in ((2, 22, 26, 21, 7, 16, 8),
+                                     (1, 19, 20, 3, 3, 8, 8),
+                                     (2, 38, 34, 6, 5, 12, 16)):
+        x = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+        kern = jnp.asarray((rng.rand(k, k, c, o) - 0.5).astype(np.float32))
+        got = conv_small_cin_v2(x, kern, rows=rows, interpret=True)
+        ref = jax.lax.conv_general_dilated(
+            x, kern, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
 def test_small_cout_packed_conv_matches_lax():
     """The row-tap output-packing path for tiny-C_out convs
     (layers._conv_small_cout_packed — the ICN/EdgeConnect heads on TPU) is
