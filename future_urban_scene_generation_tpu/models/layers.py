@@ -297,6 +297,24 @@ def _dispatch_conv_impl(x, w, stride: int, padding: int, dilation: int = 1):
         return conv_small_cin_v2(x, w)
     if _int8_eligible(x, w):
         return _int8_conv(x, w, stride, padding, dilation)
+    # 1x1 convs with 16-32 output channels (the VUNet tail's NiN/1x1 layers at
+    # 256²) run the MXU at <=25% fill on BOTH contraction and output lanes AND
+    # their <=32-channel tensors carry a 4x lane-padded HBM layout. The
+    # width-folded block-diag matmul measured 1.61 vs 2.59 ms at
+    # (24, 256, 256, 32) bf16 on the chip. The analogous 2x2-phase-packing of
+    # the 3x3 convs measured SLOWER (4.4/4.1 vs 3.8/2.8 ms — the (k+1)²/k²
+    # MAC overhead dominates) and is deliberately not dispatched.
+    if (
+        k == 1
+        and stride == 1
+        and padding == 0
+        and dilation == 1
+        and 16 <= w.shape[-1] <= 32
+        and x.shape[-1] >= 16
+        and x.shape[2] % 4 == 0
+        and jax.default_backend() == "tpu"
+    ):
+        return _conv1x1_width_folded(x, w)
     # Output packing applies only to genuinely tiny C_out heads: relaxing the
     # gate to k*C_out <= 128 (capturing VUNet's 3x3 C_out=32 residual convs)
     # measured NO win (71.3 vs 73.5 fps) — those convs are input-bound at
@@ -323,6 +341,198 @@ def _xla_conv(x, w, stride: int, padding: int, dilation: int = 1):
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+
+
+def _conv_phase_packed(x, w, padding: int):
+    """Odd-k stride-1 SAME conv as a (k+1)x(k+1) STRIDE-2 conv emitting all four
+    2x2 output phases in the channel dim, + depth-to-space.
+
+    Why: convs with C_out in [16, 32] run the MXU at <=25% output-lane fill AND
+    their <=32-channel NHWC intermediates get lane-PADDED 4x in HBM layout
+    (trace: bf16[24,256,256,32]{3,0,2,1:T(8,128)} — a plain copy of that tensor
+    measured 0.9 ms = padded-bytes x HBM speed). Packing the 2x2 pixel phases
+    into channels makes N = 4*C_out (64-128 lanes) and the conv output unpadded,
+    at (k+1)^2/k^2 (1.78x for k=3) extra MACs from the kernel's zero corners.
+    Same multiplies/adds modulo those zeros — value-equal to _xla_conv
+    (tests/test_layers.py), so the custom-VJP backward stays correct.
+
+    Requires: odd k, padding == k//2, even H and W.
+    """
+    k = w.shape[0]
+    h = k // 2
+    n, H, W, _ = x.shape
+    o = w.shape[-1]
+    k2 = jnp.zeros((k + 1, k + 1, w.shape[2], 4 * o), w.dtype)
+    for a in (0, 1):
+        for b in (0, 1):
+            blk = (a * 2 + b) * o
+            k2 = k2.at[a:a + k, b:b + k, :, blk:blk + o].add(w)
+    z = jax.lax.conv_general_dilated(
+        x, k2, (2, 2), ((h, h), (h, h)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (n, H/2, W/2, 4*o), channels ordered (a, b, o)
+    y = z.reshape(n, H // 2, W // 2, 2, 2, o)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, H, W, o)
+
+
+# ---------------------------------------------------------------------------
+# Width-folded compute regions (VUNet 256² tail)
+#
+# Tensors with <= 32 channels carry a 4x lane-PADDED HBM layout on TPU
+# (T(8,128) tiling pads the minor channel dim to 128) and run convs at <= 25%
+# MXU lane fill. Folding 4 adjacent width pixels into channels — a FREE
+# reshape, channels being minor — makes every intermediate 64-128 channels
+# wide. Chip A/B at (24, 256, 256, 32) bf16: 3x3 conv 2.60 vs 3.82 ms (64->32)
+# and 2.16 vs 2.68 (32->32) when the chain STAYS folded; per-conv fold/unfold
+# loses (5.3/3.8 ms — the relayout copies dominate), hence a trace-time REGION:
+# code inside width_fold_region() sees folded arrays, and TorchConv/WNConv
+# reinterpret their inputs accordingly (params keep reference shapes).
+# ---------------------------------------------------------------------------
+
+_WIDTH_FOLD = 0
+_WIDTH_FOLD_FORCE: Optional[bool] = None
+
+
+@_contextmanager
+def width_fold_region():
+    """Trace-time scope: conv inputs inside are 4-pixel width-folded."""
+    global _WIDTH_FOLD
+    _WIDTH_FOLD += 1
+    try:
+        yield
+    finally:
+        _WIDTH_FOLD -= 1
+
+
+def width_fold_active() -> bool:
+    return _WIDTH_FOLD > 0
+
+
+@_contextmanager
+def force_width_fold(value: bool):
+    """Test hook: force width_fold_wanted() on/off regardless of backend."""
+    global _WIDTH_FOLD_FORCE
+    old = _WIDTH_FOLD_FORCE
+    _WIDTH_FOLD_FORCE = value
+    try:
+        yield
+    finally:
+        _WIDTH_FOLD_FORCE = old
+
+
+def width_fold_wanted() -> bool:
+    """Whether models should enter width-folded regions: a TPU layout/lane
+    optimization — pointless (and unexercised by parity tests) on CPU unless
+    forced."""
+    if _WIDTH_FOLD_FORCE is not None:
+        return _WIDTH_FOLD_FORCE
+    return jax.default_backend() == "tpu"
+
+
+def fold_width4(x: jnp.ndarray) -> jnp.ndarray:
+    """(n, H, W, C) -> (n, H, W/4, 4C); channels minor, so this is free."""
+    n, h, w, c = x.shape
+    return x.reshape(n, h, w // 4, 4 * c)
+
+
+def unfold_width4(x4: jnp.ndarray) -> jnp.ndarray:
+    """(n, H, W/4, 4C) -> (n, H, W, C)."""
+    n, h, w4, c4 = x4.shape
+    return x4.reshape(n, h, w4 * 4, c4 // 4)
+
+
+def depth_to_space_folded(z: jnp.ndarray) -> jnp.ndarray:
+    """depth_to_space(z, 2) emitted directly in width-folded form:
+    (n, h, w, 4o) -> (n, 2h, w/2, 4o) with channels (f, o), f the width-fold
+    phase. Writes the compact folded layout instead of a 4x-padded NHWC
+    tensor. Equals fold_width4(depth_to_space(z, 2)) (tested)."""
+    n, h, w, c4 = z.shape
+    o = c4 // 4
+    z7 = z.reshape(n, h, w // 2, 2, 2, 2, o)  # (n, i, j', f2, a, b, o)
+    y = z7.transpose(0, 1, 4, 2, 3, 5, 6)  # (n, i, a, j', f2, b, o)
+    return y.reshape(n, 2 * h, w // 2, 4 * o)
+
+
+def concat_folded(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Channel-concat of two width-folded tensors, matching
+    fold_width4(concatenate([unfold(a), unfold(b)], -1)) — i.e. interleaved per
+    fold phase, so fold-aware convs see the standard (f, c) channel order."""
+    n, h, w4, ca = a.shape
+    cb = b.shape[-1]
+    ai = a.reshape(n, h, w4, 4, ca // 4)
+    bi = b.reshape(n, h, w4, 4, cb // 4)
+    return jnp.concatenate([ai, bi], axis=-1).reshape(n, h, w4, ca + cb)
+
+
+def _blockdiag4(wm: jnp.ndarray) -> jnp.ndarray:
+    """(C, O) -> (4C, 4O) block-diagonal."""
+    c, o = wm.shape
+    w4 = jnp.zeros((4 * c, 4 * o), wm.dtype)
+    for i in range(4):
+        w4 = w4.at[i * c:(i + 1) * c, i * o:(i + 1) * o].set(wm)
+    return w4
+
+
+def _conv_on_folded(x4: jnp.ndarray, w: jnp.ndarray, padding: int) -> jnp.ndarray:
+    """Stride-1 conv applied to an already width-folded tensor. k=1 becomes a
+    block-diagonal matmul; k=3 a 25%-dense folded-kernel conv (see
+    _conv3x3_width_folded). Value-equal to the unfolded conv (tested)."""
+    k = w.shape[0]
+    if k == 1:
+        return jax.lax.dot_general(
+            x4, _blockdiag4(w.reshape(w.shape[2], w.shape[3])),
+            dimension_numbers=(((3,), (0,)), ((), ())),
+        )
+    if k == 3 and padding == 1:
+        return _conv3x3_width_folded(x4, w)
+    raise NotImplementedError(
+        f"width-folded conv supports k=1 or k=3 SAME, got k={k} pad={padding}"
+    )
+
+
+def _fold_kernel_width4(w):
+    """(k, k, C, O) -> (k, 3, 4C, 4O) kernel for a conv over 4-pixel width-folded
+    tensors: Kf[dy, m+1, f*C+c, e*O+o] = w[dy, dx+h, c, o] where dx = 4m+f-e,
+    kept when |dx| <= h (k odd, h = k//2 <= 1 supported — wider k needs more
+    folded-width taps)."""
+    k, _, c, o = w.shape
+    h = k // 2
+    kf = jnp.zeros((k, 3, 4 * c, 4 * o), w.dtype)
+    for m in (-1, 0, 1):
+        for f in range(4):
+            for e in range(4):
+                dx = 4 * m + f - e
+                if abs(dx) <= h:
+                    kf = kf.at[:, m + 1, f * c:(f + 1) * c, e * o:(e + 1) * o].add(
+                        w[:, dx + h]
+                    )
+    return kf
+
+
+def _conv3x3_width_folded(x4, w):
+    """3x3 stride-1 SAME conv operating directly on a width-folded tensor
+    (n, H, W/4, 4C) -> (n, H, W/4, 4O). The folded kernel is 25% dense (4x the
+    MACs) but the contraction/output lanes are 4C/4O wide and every
+    intermediate stays unpadded in HBM."""
+    return jax.lax.conv_general_dilated(
+        x4, _fold_kernel_width4(w), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _conv1x1_width_folded(x, w):
+    """1x1 conv with C_out in [16, 32] as a block-diagonal matmul over
+    4-pixel-folded width: (n,H,W,C) -> (n,H,W/4,4C) is a FREE reshape (channels
+    minor), the (4C, 4O) block-diag weight fills 64-128 output lanes, and the
+    fold sidesteps the 4x lane padding of <=32-channel tensors entirely.
+    Requires W % 4 == 0."""
+    n, H, W, c = x.shape
+    o = w.shape[-1]
+    y4 = jax.lax.dot_general(
+        x.reshape(n, H, W // 4, 4 * c), _blockdiag4(w.reshape(c, o)),
+        dimension_numbers=(((3,), (0,)), ((), ())),
+    )
+    return y4.reshape(n, H, W, o)
 
 
 from functools import partial as _partial  # noqa: E402 — local alias
@@ -369,11 +579,19 @@ class TorchConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        in_ch = x.shape[-1]
+        folded = width_fold_active()
+        in_ch = x.shape[-1] // 4 if folded else x.shape[-1]
         k = self.kernel_size
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (k, k, in_ch, self.features)
         )
+        if folded:
+            assert self.stride == 1 and self.dilation == 1, "fold region: stride-1 only"
+            out = _conv_on_folded(x, kernel.astype(x.dtype), self.padding)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros, (self.features,))
+                out = out + jnp.tile(bias.astype(out.dtype), 4)
+            return out
         out = _dispatch_conv(
             x, kernel.astype(x.dtype), self.stride, self.padding, self.dilation
         )
@@ -575,7 +793,8 @@ class WNConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        in_ch = x.shape[-1]
+        folded = width_fold_active()
+        in_ch = x.shape[-1] // 4 if folded else x.shape[-1]
         k = self.kernel_size
         v = self.param("v", nn.initializers.lecun_normal(), (k, k, in_ch, self.features))
         g = self.param("g", nn.initializers.ones, (self.features,))
@@ -584,6 +803,10 @@ class WNConv(nn.Module):
         norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1, 2), keepdims=True) + 1e-24)
         w = (v / norm * g).astype(x.dtype)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if folded:
+            assert self.stride == 1, "fold region: stride-1 only"
+            out = _conv_on_folded(x, w, self.padding)
+            return out + jnp.tile(bias.astype(out.dtype), 4)
         out = _dispatch_conv(x, w, self.stride, self.padding)
         return out + bias.astype(out.dtype)
 

@@ -255,6 +255,46 @@ def test_pallas_small_cin_conv_v2_matches_lax():
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
 
 
+def test_phase_packed_conv_matches_lax():
+    """The 2x2-phase-packed stride-2 rewrite of odd-k stride-1 SAME convs
+    (layers._conv_phase_packed — the VUNet 256²/32-channel tail on TPU) is
+    numerically the same conv."""
+    import jax
+
+    from future_urban_scene_generation_tpu.models import layers as L
+
+    rng = np.random.RandomState(8)
+    for (n, h, w, c, k, o) in ((2, 16, 20, 64, 3, 32), (1, 12, 12, 32, 3, 32),
+                               (2, 10, 14, 48, 5, 16), (1, 8, 8, 32, 1, 32)):
+        x = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+        kern = jnp.asarray((rng.rand(k, k, c, o) - 0.5).astype(np.float32))
+        got = L._conv_phase_packed(x, kern, k // 2)
+        ref = jax.lax.conv_general_dilated(
+            x, kern, (1, 1), ((k // 2,) * 2, (k // 2,) * 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_width_folded_1x1_conv_matches_lax():
+    """The 4-pixel width-fold block-diag matmul for 1x1 convs
+    (layers._conv1x1_width_folded) is numerically the same conv."""
+    import jax
+
+    from future_urban_scene_generation_tpu.models import layers as L
+
+    rng = np.random.RandomState(9)
+    for (n, h, w, c, o) in ((2, 12, 16, 32, 32), (1, 8, 20, 64, 16)):
+        x = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+        kern = jnp.asarray((rng.rand(1, 1, c, o) - 0.5).astype(np.float32))
+        got = L._conv1x1_width_folded(x, kern)
+        ref = jax.lax.conv_general_dilated(
+            x, kern, (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
 def test_small_cout_packed_conv_matches_lax():
     """The row-tap output-packing path for tiny-C_out convs
     (layers._conv_small_cout_packed — the ICN/EdgeConnect heads on TPU) is
