@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from future_urban_scene_generation_tpu.models import layers as L
 from future_urban_scene_generation_tpu.models.layers import (
     TorchConv,
     WNConv,
@@ -78,7 +79,12 @@ class Residual(nn.Module):
     def __call__(self, x, skip_in=None, deterministic: bool = True):
         residual = x
         if skip_in is not None:
-            x = jnp.concatenate([residual, skip_in], axis=-1)
+            # In a width-folded region the concat must interleave per fold
+            # phase so the conv sees the standard (f, c) channel order.
+            if L.width_fold_active():
+                x = L.concat_folded(residual, skip_in)
+            else:
+                x = jnp.concatenate([residual, skip_in], axis=-1)
         x = _elu(x)
         if not deterministic and self.drop_prob > 0.0:
             x = dropout2d(x, self.drop_prob, self.make_rng("dropout"), False)
@@ -105,12 +111,18 @@ class UpSample(nn.Module):
     w_norm: bool = True
 
     @nn.compact
-    def __call__(self, x, skip_in=None):
+    def __call__(self, x, skip_in=None, folded_out: bool = False):
         if skip_in is not None:
             x = jnp.concatenate([x, skip_in], axis=-1)
         if self.mode == "subpixel":
             x = MyConv(4 * self.features, 3, padding=1, w_norm=self.w_norm, name="depth4x")(x)
+            if folded_out:
+                # Emit the upsample directly in width-folded form: writes the
+                # compact (n, 2h, w/2, 4C) layout instead of a 4x lane-padded
+                # NHWC tensor (layers.depth_to_space_folded, value-equal).
+                return L.depth_to_space_folded(x)
             return depth_to_space(x, 2)
+        assert not folded_out, "folded_out only supported for subpixel mode"
         if self.mode == "nearest":
             x = upsample2x_nearest_nhwc(x)
             return MyConv(self.features, 3, padding=1, w_norm=self.w_norm, name="conv")(x)
@@ -140,7 +152,17 @@ class InitBlock(nn.Module):
     w_norm: bool
 
     @nn.compact
-    def __call__(self, x, deterministic=True):
+    def __call__(self, x, deterministic=True, folded: bool = False):
+        if folded:
+            # Width-folded 256² stage (TPU lane-fill optimization, value-equal
+            # — see layers.width_fold_region): x and the returned skips are
+            # folded; the caller unfolds at the stage boundary.
+            x = L.fold_width4(x)
+            with L.width_fold_region():
+                return self._body(x, deterministic)
+        return self._body(x, deterministic)
+
+    def _body(self, x, deterministic):
         x = NiN(self.features, self.w_norm, name="nin")(x)
         x = Residual(self.features, self.drop_prob, self.w_norm, name="residual_0")(
             x, deterministic=deterministic
@@ -182,14 +204,16 @@ class UpBlock(nn.Module):
     w_norm: bool
 
     @nn.compact
-    def __call__(self, x, skip_a, skip_b, deterministic=True):
+    def __call__(self, x, skip_a, skip_b, deterministic=True, folded_out: bool = False):
         x = Residual(self.c_middle, self.drop_prob, self.w_norm, name="residual_0")(
             x, skip_a, deterministic
         )
         x = Residual(self.c_middle, self.drop_prob, self.w_norm, name="residual_1")(
             x, skip_b, deterministic
         )
-        return UpSample(self.c_out, self.up_mode, self.w_norm, name="up")(x)
+        return UpSample(self.c_out, self.up_mode, self.w_norm, name="up")(
+            x, folded_out=folded_out
+        )
 
 
 class EndBlock(nn.Module):
@@ -201,13 +225,20 @@ class EndBlock(nn.Module):
     w_norm: bool
 
     @nn.compact
-    def __call__(self, x, skip_a, skip_b, deterministic=True):
-        x = Residual(self.c_middle, self.drop_prob, self.w_norm, name="residual_0")(
-            x, skip_a, deterministic
-        )
-        x = Residual(self.c_middle, self.drop_prob, self.w_norm, name="residual_1")(
-            x, skip_b, deterministic
-        )
+    def __call__(self, x, skip_a, skip_b, deterministic=True, folded: bool = False):
+        res0 = Residual(self.c_middle, self.drop_prob, self.w_norm, name="residual_0")
+        res1 = Residual(self.c_middle, self.drop_prob, self.w_norm, name="residual_1")
+        if folded:
+            # x, skip_a, skip_b arrive width-folded (the dec_up 256² skips and
+            # the folded_out upsample); the head conv runs unfolded so it can
+            # keep its own packed small-C_out path.
+            with L.width_fold_region():
+                x = res0(x, skip_a, deterministic)
+                x = res1(x, skip_b, deterministic)
+            x = L.unfold_width4(x)
+        else:
+            x = res0(x, skip_a, deterministic)
+            x = res1(x, skip_b, deterministic)
         return MyConv(self.c_out, 3, padding=1, w_norm=self.w_norm, name="conv")(x)
 
 
@@ -350,10 +381,26 @@ class Vunet(nn.Module):
 
     # -- shape branch (vunet/models.py:355-388, 410-459) ----------------------------
 
+    def _fold256(self, y_tilde, deterministic) -> bool:
+        """Run the 32-channel full-resolution stage width-folded (TPU lane-fill
+        + layout optimization; value-equal, pinned by tests/test_vunet.py)."""
+        return (
+            deterministic
+            and L.width_fold_wanted()
+            and y_tilde.shape[2] % 4 == 0
+            and y_tilde.shape[1] % 2 == 0
+        )
+
     def forward_dec_up(self, y_tilde, deterministic=True):
         skips = []
-        x, sl = self.shape_encoder_1(y_tilde, deterministic)
-        skips += [self.shape_skip_1_b(sl[-2]), self.shape_skip_1_c(sl[-1])]
+        fold = self._fold256(y_tilde, deterministic)
+        x, sl = self.shape_encoder_1(y_tilde, deterministic, folded=fold)
+        if fold:
+            with L.width_fold_region():
+                skips += [self.shape_skip_1_b(sl[-2]), self.shape_skip_1_c(sl[-1])]
+            x = L.unfold_width4(x)
+        else:
+            skips += [self.shape_skip_1_b(sl[-2]), self.shape_skip_1_c(sl[-1])]
         if self.vunet_256:
             x, sl = self.shape_encoder_1_a(x, deterministic)
             skips += [self.shape_skip_1_a_b(sl[-2]), self.shape_skip_1_a_c(sl[-1])]
@@ -393,10 +440,26 @@ class Vunet(nn.Module):
 
         x = self.shape_decoder_3(x, skips.pop(), skips.pop(), deterministic)
         x = self.shape_decoder_4(x, skips.pop(), skips.pop(), deterministic)
-        x = self.shape_decoder_5(x, skips.pop(), skips.pop(), deterministic)
+        # Mirror forward_dec_up's fold decision EXACTLY (the last two skips —
+        # the full-resolution 32-channel ones — were stored width-folded, and
+        # the final upsample emits folded so EndBlock's residuals run folded
+        # too). Here x sits 2 (vunet_256) or 1 upsample below full resolution,
+        # so dec_up's W % 4 == 0 test becomes the equivalent check below; the
+        # H % 2 test is vacuous (H = 2 or 4 times x.shape[1]).
+        fold = (
+            deterministic
+            and L.width_fold_wanted()
+            and (self.vunet_256 or x.shape[2] % 2 == 0)
+        )
+        x = self.shape_decoder_5(
+            x, skips.pop(), skips.pop(), deterministic,
+            folded_out=fold and not self.vunet_256,
+        )
         if self.vunet_256:
-            x = self.shape_decoder_5_a(x, skips.pop(), skips.pop(), deterministic)
-        x = self.shape_decoder_6(x, skips.pop(), skips.pop(), deterministic)
+            x = self.shape_decoder_5_a(
+                x, skips.pop(), skips.pop(), deterministic, folded_out=fold
+            )
+        x = self.shape_decoder_6(x, skips.pop(), skips.pop(), deterministic, folded=fold)
         assert not skips
         return x, [mu_0, mu_1], [z_0, z_1]
 

@@ -38,7 +38,7 @@ _SLOW_MODELS = {
     "test_bf16_inference", "test_maskrcnn", "test_vgg", "test_reference_crossval",
     "test_spectral_norm", "test_hourglass_trainer", "test_vunet_trainer",
     "test_inpaint_crossval", "test_train_cli", "test_warp_planes",
-    "test_export",
+    "test_export", "test_vunet_fold",
 }
 _SLOW_PIPELINE = {
     # full scene-program compiles + sharding equivalence
