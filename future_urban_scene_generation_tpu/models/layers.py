@@ -297,24 +297,16 @@ def _dispatch_conv_impl(x, w, stride: int, padding: int, dilation: int = 1):
         return conv_small_cin_v2(x, w)
     if _int8_eligible(x, w):
         return _int8_conv(x, w, stride, padding, dilation)
-    # 1x1 convs with 16-32 output channels (the VUNet tail's NiN/1x1 layers at
-    # 256²) run the MXU at <=25% fill on BOTH contraction and output lanes AND
-    # their <=32-channel tensors carry a 4x lane-padded HBM layout. The
-    # width-folded block-diag matmul measured 1.61 vs 2.59 ms at
-    # (24, 256, 256, 32) bf16 on the chip. The analogous 2x2-phase-packing of
-    # the 3x3 convs measured SLOWER (4.4/4.1 vs 3.8/2.8 ms — the (k+1)²/k²
-    # MAC overhead dominates) and is deliberately not dispatched.
-    if (
-        k == 1
-        and stride == 1
-        and padding == 0
-        and dilation == 1
-        and 16 <= w.shape[-1] <= 32
-        and x.shape[-1] >= 16
-        and x.shape[2] % 4 == 0
-        and jax.default_backend() == "tpu"
-    ):
-        return _conv1x1_width_folded(x, w)
+    # NOT dispatched (measured dead ends, helpers + parity tests kept):
+    # _conv1x1_width_folded won standalone (1.61 vs 2.59 ms at
+    # (24,256,256,32) bf16) but dispatching it for the VUNet NiNs cost the
+    # SCENE ~16 ms (143.0 -> 115.8 fps) — the fold reshape forces layout
+    # changes/transposes around every call site that dwarf the matmul win.
+    # _conv_phase_packed (2x2 output phases as a stride-2 conv) lost even
+    # standalone: 4.4/4.1 vs 3.8/2.8 ms — the (k+1)²/k² MAC overhead
+    # dominates. Same lesson three ways: lane-fill wins at the op level do
+    # not survive the surrounding layout graph; only whole-region folding
+    # gets close (see width_fold_region — 142.0 vs 143.0, kept off).
     # Output packing applies only to genuinely tiny C_out heads: relaxing the
     # gate to k*C_out <= 128 (capturing VUNet's 3x3 C_out=32 residual convs)
     # measured NO win (71.3 vs 73.5 fps) — those convs are input-bound at
@@ -421,12 +413,19 @@ def force_width_fold(value: bool):
 
 
 def width_fold_wanted() -> bool:
-    """Whether models should enter width-folded regions: a TPU layout/lane
-    optimization — pointless (and unexercised by parity tests) on CPU unless
-    forced."""
+    """Whether models should enter width-folded regions.
+
+    OFF by default — a fully-measured probe, kept with its tests: the folded
+    VUNet 256² stage cut each 3x3 conv to ~1.2 ms (from 2.0-3.7) but the
+    region boundaries gave it all back on the chip — scene bench 134.7 fps
+    with interleaved skip concats, 142.0 after group-structured kernels +
+    folded head vs 143.0 unfolded. The residual losses are the enc-side
+    unfold before the stride-2 DownSample and the lost conv epilogue fusions;
+    folding the entire <=32-channel subgraph (stride-2 folded convs included)
+    is the remaining idea if this stage ever dominates again."""
     if _WIDTH_FOLD_FORCE is not None:
         return _WIDTH_FOLD_FORCE
-    return jax.default_backend() == "tpu"
+    return False
 
 
 def fold_width4(x: jnp.ndarray) -> jnp.ndarray:
@@ -456,12 +455,36 @@ def depth_to_space_folded(z: jnp.ndarray) -> jnp.ndarray:
 def concat_folded(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Channel-concat of two width-folded tensors, matching
     fold_width4(concatenate([unfold(a), unfold(b)], -1)) — i.e. interleaved per
-    fold phase, so fold-aware convs see the standard (f, c) channel order."""
+    fold phase, so fold-aware convs see the standard (f, c) channel order.
+
+    NOTE: the interleave is a real relayout (~1.2 ms at (24,256,64,128) — it
+    showed up as the top data-formatting copies in the scene trace). The fold
+    region avoids it: Residual concatenates folded tensors PLAINLY and tells
+    the conv the group split via fold_groups(); the kernel is built
+    group-structured instead (free at trace time). This helper remains for
+    tests/documentation of the equivalence."""
     n, h, w4, ca = a.shape
     cb = b.shape[-1]
     ai = a.reshape(n, h, w4, 4, ca // 4)
     bi = b.reshape(n, h, w4, 4, cb // 4)
     return jnp.concatenate([ai, bi], axis=-1).reshape(n, h, w4, ca + cb)
+
+
+_FOLD_GROUPS: Optional[Tuple[int, ...]] = None
+
+
+@_contextmanager
+def fold_groups(sizes: Tuple[int, ...]):
+    """Trace-time hint: the folded conv input inside this scope is a PLAIN
+    concat of independently-folded tensors with these (unfolded) channel
+    counts; the conv builds its folded kernel per group to match."""
+    global _FOLD_GROUPS
+    old = _FOLD_GROUPS
+    _FOLD_GROUPS = tuple(sizes)
+    try:
+        yield
+    finally:
+        _FOLD_GROUPS = old
 
 
 def _blockdiag4(wm: jnp.ndarray) -> jnp.ndarray:
@@ -476,15 +499,36 @@ def _blockdiag4(wm: jnp.ndarray) -> jnp.ndarray:
 def _conv_on_folded(x4: jnp.ndarray, w: jnp.ndarray, padding: int) -> jnp.ndarray:
     """Stride-1 conv applied to an already width-folded tensor. k=1 becomes a
     block-diagonal matmul; k=3 a 25%-dense folded-kernel conv (see
-    _conv3x3_width_folded). Value-equal to the unfolded conv (tested)."""
+    _conv3x3_width_folded). Value-equal to the unfolded conv (tested).
+
+    Honors fold_groups(): when the folded input is a plain concat of
+    independently-folded tensors, the kernel's input-channel axis is built
+    per group (the data interleave this replaces measured ~1.2 ms/concat)."""
     k = w.shape[0]
+    groups = _FOLD_GROUPS
+    if groups is None:
+        groups = (w.shape[2],)
+    assert sum(groups) == w.shape[2], (groups, w.shape)
     if k == 1:
+        off = 0
+        blocks = []
+        for g in groups:
+            blocks.append(_blockdiag4(w[0, 0, off:off + g, :]))
+            off += g
+        w4 = jnp.concatenate(blocks, axis=0)  # (4*C_total, 4*O)
         return jax.lax.dot_general(
-            x4, _blockdiag4(w.reshape(w.shape[2], w.shape[3])),
-            dimension_numbers=(((3,), (0,)), ((), ())),
+            x4, w4, dimension_numbers=(((3,), (0,)), ((), ())),
         )
     if k == 3 and padding == 1:
-        return _conv3x3_width_folded(x4, w)
+        off = 0
+        kfs = []
+        for g in groups:
+            kfs.append(_fold_kernel_width4(w[:, :, off:off + g, :]))
+            off += g
+        return jax.lax.conv_general_dilated(
+            x4, jnp.concatenate(kfs, axis=2), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     raise NotImplementedError(
         f"width-folded conv supports k=1 or k=3 SAME, got k={k} pad={padding}"
     )
