@@ -215,9 +215,11 @@ def main(argv=None):
     # the device sat idle one tunnel round trip per scene (measured: 129 ms/it
     # against a 95-100 ms device wall from the profiler trace span).
     # Median of per-iteration times guards against contended iterations; two
-    # disclosed rounds (best wins) guard against a whole contended round
-    # (observed once: 3.9 "fps" for a program that measures ~70 before/after —
-    # the chip is shared under this driver).
+    # disclosed rounds guard against a whole contended round (observed once:
+    # 3.9 "fps" for a program that measures ~70 before/after — the chip is
+    # shared under this driver). The headline `value` is the MEDIAN of the
+    # disclosed rounds (for two rounds: their mean), not the best — round-3
+    # judge item #7 (de-bias the headline).
     iters = 10
     medians = []
     for _round in range(2):
@@ -242,7 +244,7 @@ def main(argv=None):
         # First iteration has no overlapped read; drop it, median the rest.
         times = sorted(times[1:])
         medians.append(times[len(times) // 2])
-    dt = min(medians)
+    dt = float(np.median(medians))
     assert np.isfinite(checksum)
 
     frames_per_scene = 2 * T  # both generator branches composite T frames each
@@ -254,8 +256,8 @@ def main(argv=None):
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 12.5, 4),
-                # Both measurement rounds, disclosed: value = best round; the
-                # spread between these is the contention error bar.
+                # Both measurement rounds, disclosed: value = median of the
+                # rounds; the spread between these is the contention error bar.
                 "round_fps": [round(frames_per_scene / m, 3) for m in medians],
                 # Depth-1 per-scene latency (serial dispatch->execute->read,
                 # includes the tunnel round trip) and its fps equivalent.

@@ -26,9 +26,21 @@ jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 
+_HERE = os.path.abspath(os.path.dirname(__file__))
+
+
 def pytest_collection_modifyitems(config, items):
+    """Skip-mark ONLY items that live under tests_tpu/.
+
+    pytest hands every conftest's hook the FULL session item list, so a
+    root-level ``pytest -m smoke`` collecting both tests/ and tests_tpu/
+    would otherwise skip the entire suite with exit code 0 (tests/conftest.py
+    forces the CPU backend first, so the not-a-TPU branch always fires in a
+    combined collection). Filter on item.path.
+    """
     if jax.default_backend() == "tpu":
         return
     skip = pytest.mark.skip(reason="tests_tpu/ needs a real TPU default backend")
     for item in items:
-        item.add_marker(skip)
+        if os.path.abspath(str(item.path)).startswith(_HERE + os.sep):
+            item.add_marker(skip)
