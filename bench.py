@@ -156,6 +156,11 @@ def main(argv=None):
                          "ICN trunk convs on the double-rate int8 MXU path; "
                          "quality tier in tests/test_int8_inference.py. The "
                          "driver-recorded headline stays the bf16 tier.")
+    ap.add_argument("--gen-chunk", type=int, default=None,
+                    help="MODEL_SPEC['gen_chunk'] A/B knob (default: spec "
+                         "default 24 — generator batches beyond it run as a "
+                         "lax.scan of clean batch-24 sub-programs; 0 = the "
+                         "monolithic batch)")
     args = ap.parse_args(argv)
     V = args.vehicles  # vehicles (default 4 — the driver-recorded config)
 
@@ -167,6 +172,10 @@ def main(argv=None):
     models, cad_bank, frame, background, bboxes, meters, K, H, W, T = setup_scene(
         V, quantized=args.quantized, warp_res=args.warp_res
     )
+    if args.gen_chunk is not None:
+        from future_urban_scene_generation_tpu.pipeline.stages import configure_models
+
+        configure_models(gen_chunk=args.gen_chunk)
 
     run = lambda f: runner.run_scene(  # noqa: E731 — FULL path incl. perception
         models, cad_bank, f, background, bboxes, meters, jnp.asarray(K),

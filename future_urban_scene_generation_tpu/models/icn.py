@@ -103,12 +103,13 @@ class ContentEncoder(nn.Module):
     pad_type: str = "reflect"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, from_stem: bool = False):
         dim = self.dim
-        x = Conv2dBlock(
-            dim, 7, 1, 3, norm=self.norm, activ=self.activ, pad_type="reflect",
-            name="model_0",
-        )(x)
+        if not from_stem:
+            x = Conv2dBlock(
+                dim, 7, 1, 3, norm=self.norm, activ=self.activ, pad_type="reflect",
+                name="model_0",
+            )(x)
         for i in range(self.n_downsample):
             x = Conv2dBlock(
                 2 * dim, 4, 2, 1, norm=self.norm, activ=self.activ, pad_type="reflect",
@@ -197,11 +198,17 @@ class GResnet(nn.Module):
     ngf: int = 64
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, from_stem: bool = False):
+        """``from_stem=True``: ``x`` is the PRE-COMPUTED stem activation
+        (post conv+instance-norm+relu of enc_content/model_0) — the serving
+        path computes it with the fused three-piece Pallas kernel
+        (ops/pallas_conv.icn_stem_conv_fused) so the 21-channel input concat
+        never materializes. Param structure is unchanged (init runs the full
+        path); apply simply skips model_0."""
         content = ContentEncoder(
             self.num_downs, self.n_res, self.ngf, "inst", "relu", "reflect",
             name="enc_content",
-        )(x)
+        )(x, from_stem=from_stem)
         return Decoder(
             self.num_downs, self.n_res, self.ngf * (2 ** self.num_downs),
             self.output_nc, "inst", "relu", "reflect", name="dec",

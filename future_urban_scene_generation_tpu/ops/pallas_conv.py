@@ -145,6 +145,133 @@ def conv_small_cin_v2(x: jnp.ndarray, kernel: jnp.ndarray, rows: int = 8,
     return out.reshape(n, h_out + pad_h, w_out, cout)[:, :h_out]
 
 
+def _conv_kernel_v2_fused(sk_ref, ce_ref, pl_ref, k_ref, o_ref, *, kk: int,
+                          w_out: int, rows: int, n_planes: int):
+    """_conv_kernel_v2 body over a channel-concat input assembled IN VMEM.
+
+    The ICN stem's 21-channel input is [dst sketch(3) | central crop(3) |
+    n_planes warped planes(3 each)] (warp_learn/models.py:323-366). Feeding the
+    three pieces through separate BlockSpecs instead of one pre-concatenated
+    tensor removes the host-program concat + layout transpose that XLA
+    materializes as ~16 ms of dynamic-update-slices and copies at batch 48
+    (V=8 scene trace, docs/SERVING.md) — the concat here is a per-tile VMEM
+    sublane shuffle on ~90K elements. Channel order matches the concat path
+    exactly, so the per-row dots see identical 147-row operands (bit-identical
+    output).
+
+    sk_ref/ce_ref: (1, Hp, 3, Wp); pl_ref: (1, Hp, 3*n_planes, Wp) — the
+    planes pre-merged into one channels-major piece (keeps the VMEM block at
+    16 padded sublanes instead of n_planes separate 3->8-padded blocks);
+    k_ref: (kk*21, kk*O) as in _conv_kernel_v2.
+    """
+    del n_planes
+    base = pl.program_id(1) * rows
+    span = pl.ds(base, rows + 8)
+    slab = jnp.concatenate(
+        [sk_ref[0, span], ce_ref[0, span], pl_ref[0, span]], axis=1
+    )  # (rows + 8, C_total, Wp)
+    cout = o_ref.shape[-1]
+    for r in range(rows):
+        lhs = jnp.concatenate([slab[r + ky] for ky in range(kk)], axis=0)
+        p = jax.lax.dot_general(
+            lhs, k_ref[...],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = p[0:w_out, 0:cout]
+        for kx in range(1, kk):
+            acc = acc + p[kx:kx + w_out, kx * cout:(kx + 1) * cout]
+        o_ref[0, pl.ds(r * w_out, w_out), :] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pad", "s_repeat", "rows", "interpret")
+)
+def icn_stem_conv_fused(sketch: jnp.ndarray, central: jnp.ndarray,
+                        planes: jnp.ndarray, kernel: jnp.ndarray, *,
+                        pad: int = 3, s_repeat: int = 1, rows: int = 8,
+                        interpret: bool = False) -> jnp.ndarray:
+    """ICN stem conv over [sketch | central | planes] WITHOUT materializing the
+    21-channel concat (see _conv_kernel_v2_fused).
+
+    sketch (N, H, W, 3), central (N // s_repeat, H, W, 3), planes
+    (N, P, H, W, 3) — all UNpadded NHWC; this wrapper reflect-pads each piece
+    by ``pad`` (the stem's ReflectionPad2d, warp_learn/models.py:132) and
+    transposes width into the lane dim per piece. ``central`` is indexed
+    i -> i // s_repeat by the grid, replacing the (V,) -> (V*S,) jnp.repeat
+    copy the batch path needed. kernel (k, k, 3*(2+P), O) HWIO, channel order
+    [sketch, central, plane_0.., plane_{P-1}]. Returns (N, H, W, O) for
+    pad == k//2.
+    """
+    n, h, w_in, _ = sketch.shape
+    n_planes = planes.shape[1]
+    kk = kernel.shape[0]
+    cin = kernel.shape[2]
+    cout = kernel.shape[-1]
+    assert cin == 3 * (2 + n_planes), (cin, n_planes)
+    assert n % s_repeat == 0 and central.shape[0] == n // s_repeat
+    hp = h + 2 * pad
+    wp = w_in + 2 * pad
+    h_out = hp - kk + 1
+    w_out = wp - kk + 1
+
+    pad_h = (-h_out) % rows
+    extra = max(0, ((h_out + pad_h) - rows) + rows + 8 - (hp + pad_h))
+
+    def prep(x):  # (M, H, W, 3) -> (M, Hp + pad_h + extra, 3, Wp)
+        x = jnp.pad(
+            x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect"
+        )
+        x = jnp.pad(x, ((0, 0), (0, pad_h + extra), (0, 0), (0, 0)))
+        return jnp.transpose(x, (0, 1, 3, 2))
+
+    sk = prep(sketch)
+    ce = prep(central)
+    # Planes -> (N, Hp, P*3, Wp): one transpose, then a free contiguous-dim
+    # merge of (P, 3) into the channel axis (channel order plane0.rgb,
+    # plane1.rgb, ... — identical to the concat path's moveaxis+reshape).
+    pls = jnp.pad(
+        planes, ((0, 0), (0, 0), (pad, pad), (pad, pad), (0, 0)),
+        mode="reflect",
+    )
+    pls = jnp.pad(pls, ((0, 0), (0, 0), (0, pad_h + extra), (0, 0), (0, 0)))
+    pls = jnp.transpose(pls, (0, 2, 1, 4, 3))
+    hpp = hp + pad_h + extra
+    pls = pls.reshape(n, hpp, n_planes * 3, wp)
+    n_tiles = (h_out + pad_h) // rows
+
+    kmat = jnp.transpose(kernel, (0, 2, 1, 3)).reshape(
+        kk * cin, kk * cout
+    ).astype(sketch.dtype)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _conv_kernel_v2_fused, kk=kk, w_out=w_out, rows=rows,
+            n_planes=n_planes,
+        ),
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, hpp, 3, wp), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec(
+                (1, hpp, 3, wp),
+                lambda i, j, s=s_repeat: (i // s, 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, hpp, n_planes * 3, wp), lambda i, j: (i, 0, 0, 0)
+            ),
+            pl.BlockSpec((kk * cin, kk * cout), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows * w_out, cout), lambda i, j: (i, j, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, (h_out + pad_h) * w_out, cout), sketch.dtype
+        ),
+        interpret=interpret,
+    )(sk, ce, pls, kmat)
+    return out.reshape(n, h_out + pad_h, w_out, cout)[:, :h_out]
+
+
 @functools.partial(jax.jit, static_argnames=("rows", "interpret"))
 def conv_small_cin(x: jnp.ndarray, kernel: jnp.ndarray, rows: int = 8,
                    interpret: bool = False) -> jnp.ndarray:

@@ -228,9 +228,17 @@ def _generate_core(models, frame, background, geom, cad_idx):
         src_packed, src_win_fields, polys, visibilities, win_fields
     )  # (V, S, 5, 256, 256, 3)
 
-    # Generators run as ONE true batch over V*S: a single conv program at batch
-    # N=V*S gives XLA the whole batch for MXU tiling instead of V x S nested
-    # batch-1 programs (stages.icn_synthesize_batch).
+    # Generators run as true batches over V*S: one conv program at batch N
+    # gives XLA the whole batch for MXU tiling instead of V x S nested batch-1
+    # programs (stages.icn_synthesize_batch). Batches BEYOND 24 are scanned in
+    # batch-24 chunks (stages.GEN_CHUNK): XLA's layout assignment over the
+    # monolithic batch-48 generator region thrashed — ~24 ms/scene of
+    # {2,3,1,0}<->{3,0,2,1} relayout copies + materialized reflect-pad /
+    # up-stage border DUS that it fully fuses away at batch 24 (V=8 trace,
+    # docs/SERVING.md). A lax.scan body is a separately layout-assigned
+    # computation, so every chunk compiles exactly like the clean batch-24
+    # program and V-scaling stays linear (it also halves the compiled program
+    # size at V=8 — see the cold-compile table).
     src_windows = stages.cr.Window(*src_win_fields)  # batched (V,)
     mu_app = stages.vunet_encode_appearance_batch(
         models, frame, sketches[:, 0], veh_masks[:, 0], src_windows
@@ -240,11 +248,40 @@ def _generate_core(models, frame, background, geom, cad_idx):
     def flat(a):
         return a.reshape((n,) + a.shape[2:])
 
-    icn_crops = stages.icn_synthesize_batch(
-        models, flat(sketches), jnp.repeat(central_lab, s, axis=0), flat(planes)
-    ).reshape(v, s, stages.CROP, stages.CROP, 3)
-    mu_rep = jax.tree.map(lambda a: jnp.repeat(a, s, axis=0), mu_app)
-    vunet_crops = stages.vunet_decode_batch(models, flat(sketches), mu_rep)
+    chunk = stages.MODEL_SPEC.get("gen_chunk", 24)
+
+    def gen_chunk_body(sketches_c, central_c, planes_c, mu_c, steps):
+        icn = stages.icn_synthesize_batch(
+            models, sketches_c, central_c, planes_c, s_repeat=steps
+        )
+        mu_rep = jax.tree.map(lambda a: jnp.repeat(a, steps, axis=0), mu_c)
+        vun = stages.vunet_decode_batch(models, sketches_c, mu_rep)
+        return icn, vun
+
+    if chunk and n > chunk and n % chunk == 0 and chunk % s == 0:
+        nc = n // chunk
+        cv = chunk // s  # whole vehicles per chunk (chunk % s == 0)
+
+        def rechunk(a, m):
+            return a.reshape((nc, m) + a.shape[1:])
+
+        xs = (
+            rechunk(flat(sketches), chunk),
+            rechunk(central_lab, cv),
+            rechunk(flat(planes), chunk),
+            jax.tree.map(lambda a: rechunk(a, cv), mu_app),
+        )
+
+        def body(carry, xs_c):
+            sk_c, ce_c, pl_c, mu_c = xs_c
+            return carry, gen_chunk_body(sk_c, ce_c, pl_c, mu_c, s)
+
+        _, (icn_crops, vunet_crops) = jax.lax.scan(body, None, xs)
+    else:
+        icn_crops, vunet_crops = gen_chunk_body(
+            flat(sketches), central_lab, flat(planes), mu_app, s
+        )
+    icn_crops = icn_crops.reshape(v, s, stages.CROP, stages.CROP, 3)
     vunet_crops = vunet_crops.reshape(v, s, stages.CROP, stages.CROP, 3)
 
     # Fault barrier (branchless counterpart of the reference's per-vehicle /
@@ -339,15 +376,20 @@ def synthesize_scene_sharded(
     # under the mesh they could fail to partition or silently replicate the
     # vehicle axis; spec_key() threads the flag, so this traces a separate
     # XLA-only program without disturbing the single-chip compile cache.
-    prev = stages.MODEL_SPEC["pallas_kernels"]
+    # gen_chunk is a SINGLE-chip layout fix (batch-48 relayout thrash); under
+    # the mesh the vehicle axis is already partitioned — each device sees a
+    # <= 24 sub-batch — and the chunk scan would serialize work all devices
+    # could run at once.
+    prev = (stages.MODEL_SPEC["pallas_kernels"], stages.MODEL_SPEC["gen_chunk"])
     stages.MODEL_SPEC["pallas_kernels"] = False
+    stages.MODEL_SPEC["gen_chunk"] = 0
     try:
         return synthesize_scene(
             models, cad_bank, frame, background, perception, meter_coords,
             intrinsic, vis_res=vis_res,
         )
     finally:
-        stages.MODEL_SPEC["pallas_kernels"] = prev
+        stages.MODEL_SPEC["pallas_kernels"], stages.MODEL_SPEC["gen_chunk"] = prev
 
 
 def build_cad_bank(meshes, keypoints, scale: float = 5.0) -> CadBank:

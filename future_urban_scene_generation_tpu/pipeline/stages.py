@@ -117,6 +117,13 @@ MODEL_SPEC = {
     # NamedSharding mesh (they could fail to partition or silently replicate);
     # single-chip serving keeps them on.
     "pallas_kernels": True,
+    # Generator sub-batch size: batches beyond this are lax.scan'd in chunks
+    # (runner._generate_core). XLA's layout assignment over a monolithic
+    # batch-48 generator region emits ~24 ms/scene of relayout copies +
+    # materialized reflect-pad/up-stage DUS that it fuses away at batch 24
+    # (V=8 trace); a scan body is layout-assigned separately, so every chunk
+    # compiles like the clean batch-24 program. 0 disables chunking.
+    "gen_chunk": 24,
     # int8 post-training-quantized generator convs (models/layers._int8_conv):
     # symmetric dynamic per-input-channel activation scales folded into
     # per-output-channel weight scales, feeding the MXU's double-rate
@@ -446,10 +453,11 @@ def warp_planes_to_crop(
     # Front/back are opposite faces too, so they also share ONE gather. Unlike
     # the sides there is no cross-substitution (planes_utils.py:58-60: a
     # non-symmetry plane warps only src slot i -> dst slot i), so the pair's
-    # single active warp is front->front or back->back — never both: that would
-    # need front AND back co-visible in one pose, which the painter's-algorithm
-    # rule never produces (pose-sweep evidence pinned by
-    # test_warp_planes.py::test_front_back_never_covisible).
+    # single active warp is front->front or back->back — never both: opposite
+    # faces are never co-visible BY CONSTRUCTION
+    # (visibility._demote_covisible_pairs keeps the larger face when the bare
+    # 0.9 rule would pass both in degenerate sliver poses; pose-sweep evidence
+    # in test_warp_planes.py::test_front_back_never_covisible).
     front, back = vis.OPPOSITE_PAIR
     fb_front = src_vis[front] & dst_vis[front]
     fb_back = src_vis[back] & dst_vis[back]
@@ -503,27 +511,85 @@ def icn_synthesize(
     )[0]
 
 
+def _icn_stem_kernel_bias(icn_params):
+    """The stem Conv2dBlock's (kernel, bias) — enc_content/model_0/conv."""
+    p = icn_params["params"]["enc_content"]["model_0"]["conv"]
+    return p["kernel"], p["bias"]
+
+
+def _icn_fused_stem_eligible(icn_params) -> bool:
+    """Gate for the three-piece fused Pallas stem (icn_stem_conv_fused):
+    same conditions as layers._dispatch_conv's Pallas path (TPU + bf16 +
+    pallas_kernels on), plus the stock 7x7/21ch stem architecture."""
+    kernel, _ = _icn_stem_kernel_bias(icn_params)
+    return (
+        _generator_dtype() == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+        and layers._pallas_kernels_enabled()
+        and kernel.shape[0] == 7
+        and kernel.shape[2] == 21
+    )
+
+
+def _icn_fused_forward(models: Models, icn_model, dst_sketches, central_lab,
+                       planes_lab, s_repeat: int, interpret: bool = False):
+    """ICN forward with the stem computed by the fused three-piece Pallas
+    kernel: the 21-channel input concat, its stem-layout transpose and the
+    central-patch jnp.repeat never materialize (at batch 48 XLA emitted them
+    as ~16 ms of dynamic-update-slices + copies — the V=8 scaling cliff,
+    docs/SERVING.md). Bit-identical to the concat path: same 147-row dot
+    operands, same kernel matrix (ops/pallas_conv._conv_kernel_v2_fused)."""
+    from future_urban_scene_generation_tpu.ops.pallas_conv import (
+        icn_stem_conv_fused,
+    )
+
+    kernel, bias = _icn_stem_kernel_bias(models.icn_params)
+    dtype = _generator_dtype()
+    stem = icn_stem_conv_fused(
+        _to_signed_lab(dst_sketches).astype(dtype),
+        central_lab.astype(dtype),
+        planes_lab.astype(dtype),
+        kernel.astype(dtype),
+        s_repeat=s_repeat,
+        interpret=interpret,
+    )
+    stem = stem + bias.astype(stem.dtype)
+    # The stem Conv2dBlock's epilogue (norm="inst", activ="relu").
+    stem = jax.nn.relu(layers.instance_norm(stem))
+    return icn_model.apply(models.icn_params, stem, from_stem=True)
+
+
 def icn_synthesize_batch(
     models: Models,
     dst_sketches: jnp.ndarray,  # (N, 256, 256, 3)
-    central_lab: jnp.ndarray,  # (N, 256, 256, 3) signed LAB
+    central_lab: jnp.ndarray,  # (N // s_repeat, 256, 256, 3) signed LAB
     planes_lab: jnp.ndarray,  # (N, 5, 256, 256, 3) signed LAB
+    s_repeat: int = 1,
 ) -> jnp.ndarray:
     """One true batch-N ICN forward. The scene runner flattens its (V, S) axes
     into N here instead of nesting vmaps of batch-1 applies: one conv program at
     batch N gives XLA the full batch for MXU tiling and amortizes the
     lane-starved stem/head convolutions (measured ~15% over vmapped batch-1 at
-    N=24 on v5e)."""
+    N=24 on v5e). ``central_lab`` may carry only the per-vehicle axis with
+    ``s_repeat`` = steps-per-vehicle; the fused stem path reads it via an
+    i // s_repeat block index (no repeat copy), the fallback repeats it."""
     _, _, icn_model, _ = Models.modules()
     with jax.named_scope("fusg.icn"):
-        sketch_lab = _to_signed_lab(dst_sketches)
-        n = planes_lab.shape[0]
-        planes_cat = jnp.moveaxis(planes_lab, 1, 3).reshape(
-            planes_lab.shape[:1] + planes_lab.shape[2:4] + (-1,)
-        )  # (N, 256, 256, 15) — channel order [plane0 | ... | plane4]
-        inp = jnp.concatenate([sketch_lab, central_lab, planes_cat], axis=-1)
-        inp = inp.astype(_generator_dtype())
-        out = icn_model.apply(models.icn_params, inp)  # (N, .., 3) [-1, 1] LAB
+        if _icn_fused_stem_eligible(models.icn_params):
+            out = _icn_fused_forward(
+                models, icn_model, dst_sketches, central_lab, planes_lab,
+                s_repeat,
+            )
+        else:
+            sketch_lab = _to_signed_lab(dst_sketches)
+            if s_repeat != 1:
+                central_lab = jnp.repeat(central_lab, s_repeat, axis=0)
+            planes_cat = jnp.moveaxis(planes_lab, 1, 3).reshape(
+                planes_lab.shape[:1] + planes_lab.shape[2:4] + (-1,)
+            )  # (N, 256, 256, 15) — channel order [plane0 | ... | plane4]
+            inp = jnp.concatenate([sketch_lab, central_lab, planes_cat], axis=-1)
+            inp = inp.astype(_generator_dtype())
+            out = icn_model.apply(models.icn_params, inp)  # (N, .., 3) [-1, 1]
         out = out.astype(jnp.float32)
         return cs.lab_to_rgb((out + 1.0) / 2.0)
 

@@ -255,6 +255,78 @@ def test_pallas_small_cin_conv_v2_matches_lax():
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
 
 
+def test_pallas_icn_stem_fused_matches_concat_conv():
+    """ops/pallas_conv.icn_stem_conv_fused (three-piece BlockSpec assembly: the
+    21-channel concat, its layout transpose and the central-patch repeat never
+    materialize) computes exactly reflect_pad(3) -> VALID conv of
+    concat([sketch, central, planes]) — interpret mode on CPU; the TPU path
+    shares the kernel body. Covers s_repeat (central carried per-vehicle and
+    block-index-mapped i // s onto the flattened vehicle x step batch)."""
+    import jax
+
+    from future_urban_scene_generation_tpu.ops.pallas_conv import (
+        icn_stem_conv_fused,
+    )
+
+    rng = np.random.RandomState(11)
+    for (v, s, h, w, p, k, o, pad) in ((2, 2, 24, 26, 5, 7, 16, 3),
+                                       (1, 3, 18, 20, 5, 7, 8, 3),
+                                       (3, 1, 21, 19, 2, 5, 8, 2)):
+        n = v * s
+        c = 3 * (2 + p)
+        sketch = jnp.asarray(rng.rand(n, h, w, 3).astype(np.float32))
+        central = jnp.asarray(rng.rand(v, h, w, 3).astype(np.float32))
+        planes = jnp.asarray(rng.rand(n, p, h, w, 3).astype(np.float32))
+        kern = jnp.asarray((rng.rand(k, k, c, o) - 0.5).astype(np.float32))
+        got = icn_stem_conv_fused(
+            sketch, central, planes, kern, pad=pad, s_repeat=s, interpret=True
+        )
+        central_rep = jnp.repeat(central, s, axis=0)
+        planes_cat = jnp.moveaxis(planes, 1, 3).reshape(n, h, w, 3 * p)
+        inp = jnp.concatenate([sketch, central_rep, planes_cat], axis=-1)
+        inp = jnp.pad(
+            inp, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect"
+        )
+        ref = jax.lax.conv_general_dilated(
+            inp, kern, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_icn_fused_forward_matches_concat_path():
+    """stages._icn_fused_forward (fused Pallas stem + from_stem apply) equals
+    the concat-path icn_synthesize_batch output — interpret mode on CPU."""
+    from future_urban_scene_generation_tpu.pipeline import stages
+
+    rng = np.random.RandomState(13)
+    v, s, res = 1, 2, 64
+    n = v * s
+    icn_model = stages.Models.modules()[2]
+    params = icn_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, res, res, 21), jnp.float32)
+    )
+    models = stages.Models(
+        cad_params=None, hourglass_params=None, icn_params=params,
+        vunet_params=None,
+    )
+    sketches = jnp.asarray(rng.rand(n, res, res, 3).astype(np.float32))
+    central = jnp.asarray(
+        (rng.rand(v, res, res, 3) * 2 - 1).astype(np.float32)
+    )
+    planes = jnp.asarray(
+        (rng.rand(n, 5, res, res, 3) * 2 - 1).astype(np.float32)
+    )
+    ref = stages.icn_synthesize_batch(models, sketches, central, planes,
+                                      s_repeat=s)
+    got = stages._icn_fused_forward(
+        models, icn_model, sketches, central, planes, s_repeat=s,
+        interpret=True,
+    )
+    got = stages.cs.lab_to_rgb((got.astype(jnp.float32) + 1.0) / 2.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
 def test_phase_packed_conv_matches_lax():
     """The 2x2-phase-packed stride-2 rewrite of odd-k stride-1 SAME convs
     (layers._conv_phase_packed — the VUNet 256²/32-channel tail on TPU) is
