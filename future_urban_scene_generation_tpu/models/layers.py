@@ -20,6 +20,7 @@ from torch's NCHW/OIHW done once at checkpoint-conversion time.
 """
 from __future__ import annotations
 
+import threading as _threading
 from contextlib import contextmanager as _contextmanager
 from typing import Optional, Tuple
 
@@ -138,7 +139,11 @@ def _pallas_kernels_enabled() -> bool:
         return True
 
 
-_QUANT_SUPPRESS = 0  # trace-time depth counter — see suppress_quantization()
+# Trace-time scope state. Thread-LOCAL: concurrent tracing threads (e.g. a
+# service compiling two buckets at once) must not leak suppress/fold scopes
+# into each other's traces (ADVICE r3) — the counters key trace-time branch
+# decisions, never runtime values.
+_TRACE_SCOPES = _threading.local()
 
 
 @_contextmanager
@@ -150,18 +155,17 @@ def suppress_quantization():
     below the serving quality bar); stages wraps the VUNet forwards in this
     scope so the int8 tier quantizes only the trunks that hold quality (ICN's
     instance-normed resnet re-centers after every conv: >27 dB)."""
-    global _QUANT_SUPPRESS
-    _QUANT_SUPPRESS += 1
+    _TRACE_SCOPES.quant_suppress = getattr(_TRACE_SCOPES, "quant_suppress", 0) + 1
     try:
         yield
     finally:
-        _QUANT_SUPPRESS -= 1
+        _TRACE_SCOPES.quant_suppress -= 1
 
 
 def _quantized_convs_enabled():
     """Trace-time read of MODEL_SPEC["quantized_convs"] (spec_key() makes any
     flip a retrace, exactly like the pallas_kernels knob above)."""
-    if _QUANT_SUPPRESS:
+    if getattr(_TRACE_SCOPES, "quant_suppress", 0):
         return False
     try:
         from future_urban_scene_generation_tpu.pipeline.stages import MODEL_SPEC
@@ -381,23 +385,22 @@ def _conv_phase_packed(x, w, padding: int):
 # reinterpret their inputs accordingly (params keep reference shapes).
 # ---------------------------------------------------------------------------
 
-_WIDTH_FOLD = 0
 _WIDTH_FOLD_FORCE: Optional[bool] = None
 
 
 @_contextmanager
 def width_fold_region():
-    """Trace-time scope: conv inputs inside are 4-pixel width-folded."""
-    global _WIDTH_FOLD
-    _WIDTH_FOLD += 1
+    """Trace-time scope: conv inputs inside are 4-pixel width-folded.
+    Thread-local like suppress_quantization (see _TRACE_SCOPES)."""
+    _TRACE_SCOPES.width_fold = getattr(_TRACE_SCOPES, "width_fold", 0) + 1
     try:
         yield
     finally:
-        _WIDTH_FOLD -= 1
+        _TRACE_SCOPES.width_fold -= 1
 
 
 def width_fold_active() -> bool:
-    return _WIDTH_FOLD > 0
+    return getattr(_TRACE_SCOPES, "width_fold", 0) > 0
 
 
 @_contextmanager

@@ -449,17 +449,15 @@ class Vunet(nn.Module):
 
         x = self.shape_decoder_3(x, skips.pop(), skips.pop(), deterministic)
         x = self.shape_decoder_4(x, skips.pop(), skips.pop(), deterministic)
-        # Mirror forward_dec_up's fold decision EXACTLY (the last two skips —
-        # the full-resolution 32-channel ones — were stored width-folded, and
-        # the final upsample emits folded so EndBlock's residuals run folded
-        # too). Here x sits 2 (vunet_256) or 1 upsample below full resolution,
-        # so dec_up's W % 4 == 0 test becomes the equivalent check below; the
-        # H % 2 test is vacuous (H = 2 or 4 times x.shape[1]).
-        fold = (
-            deterministic
-            and L.width_fold_wanted()
-            and (self.vunet_256 or x.shape[2] % 2 == 0)
-        )
+        # Fold state derived from the DATA, not re-derived from gates (ADVICE
+        # r3): the remaining skips end with the full-resolution pair
+        # (skips[0:2], consumed last by shape_decoder_6), which forward_dec_up
+        # stored width-folded iff its _fold256 gate fired. Their width against
+        # the never-folded half-resolution skip (skips[2]) identifies the
+        # state — unfolded: W == 2 * W_half; folded: W/4 — so this decoder can
+        # never consume unfolded skips as folded tensors even if the two
+        # gates' shape arithmetic ever diverged.
+        fold = skips[0].shape[2] != skips[2].shape[2] * 2
         x = self.shape_decoder_5(
             x, skips.pop(), skips.pop(), deterministic,
             folded_out=fold and not self.vunet_256,

@@ -119,4 +119,29 @@ def compute_visibility(
 
     absolute_area = jnp.sum(masks, axis=(1, 2))
     remaining_area = jnp.sum(remaining, axis=(1, 2))
-    return remaining_area > 0.9 * absolute_area
+    return _demote_covisible_pairs(
+        remaining_area > 0.9 * absolute_area, remaining_area
+    )
+
+
+def _demote_covisible_pairs(vis: jnp.ndarray, remaining_area: jnp.ndarray):
+    """Enforce opposite-face exclusivity: at most one of (left, right) and one
+    of (front, back) may be visible.
+
+    The bare 0.9 ratio rule can pass BOTH members of an opposite pair in
+    degenerate near-edge-on poses where each face projects to a few unoccluded
+    pixels (ratio ~1 on a sliver — no finite pose sweep can rule it out,
+    ADVICE r3). A physical camera never sees both faces of a closed body, and
+    the serving warp exploits that by sharing one gather per pair
+    (stages.warp_planes_to_crop), so the invariant is enforced HERE by
+    construction: when both pass, keep the face with more unoccluded area.
+    The reference never demotes because it never relies on the invariant (it
+    warps each plane independently, planes_utils.py:40-82) — in the only poses
+    where this changes a flag, the demoted plane is a sliver whose warp
+    contributes a handful of pixels."""
+    for a, b in (SYMMETRY_PAIR, OPPOSITE_PAIR):
+        both = vis[a] & vis[b]
+        keep_a = remaining_area[a] >= remaining_area[b]
+        vis = vis.at[a].set(vis[a] & jnp.logical_not(both & jnp.logical_not(keep_a)))
+        vis = vis.at[b].set(vis[b] & jnp.logical_not(both & keep_a))
+    return vis

@@ -105,6 +105,37 @@ def test_warp_skips_invisible():
     assert np.asarray(unwarped).sum() == 0
 
 
+def test_demote_covisible_pairs():
+    """_demote_covisible_pairs: when the bare 0.9 rule passes BOTH members of
+    an opposite pair (degenerate near-edge-on slivers — the hole in any finite
+    pose sweep, ADVICE r3), the member with more unoccluded area survives and
+    the other is demoted; flags never flip any other way."""
+    area = jnp.asarray([10.0, 4.0, 50.0, 3.0, 8.0, 0.0, 0.0])
+    # left & right both pass, front & back both pass.
+    v = jnp.asarray([True, True, True, True, True, False, False])
+    out = np.asarray(vis._demote_covisible_pairs(v, area))
+    assert out.tolist() == [True, False, True, False, True, False, False]
+    # Ties keep the first member (left / front).
+    tie = jnp.asarray([5.0, 5.0, 0.0, 7.0, 7.0, 0.0, 0.0])
+    out = np.asarray(vis._demote_covisible_pairs(v, tie))
+    assert out.tolist() == [True, False, True, True, False, False, False]
+    # Single-visible and none-visible combinations pass through untouched.
+    for flags in ([True, False, False, False, True, False, False],
+                  [False, False, True, False, False, True, True],
+                  [False] * 7):
+        v1 = jnp.asarray(flags)
+        assert np.asarray(
+            vis._demote_covisible_pairs(v1, area)
+        ).tolist() == flags
+    # By construction: exclusivity holds for every input combination.
+    rng_l = np.random.RandomState(3)
+    for _ in range(50):
+        v1 = jnp.asarray(rng_l.rand(7) > 0.5)
+        a1 = jnp.asarray(rng_l.rand(7).astype(np.float32))
+        out = np.asarray(vis._demote_covisible_pairs(v1, a1))
+        assert not (out[0] and out[1]) and not (out[3] and out[4])
+
+
 def test_visibility_local_matches_frame():
     """compute_visibility_local (scale-free vis_res^2 window over the keypoint
     bbox — the serving/bench path) matches the frame-resolution raster across a
