@@ -61,6 +61,14 @@ def get_native():
     lib.fusg_write_png.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int
     ]
+    lib.fusg_png_info.restype = ctypes.c_int
+    lib.fusg_png_info.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)
+    ]
+    lib.fusg_read_png.restype = ctypes.c_int
+    lib.fusg_read_png.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int
+    ]
     lib.fusg_tracking_count.restype = ctypes.c_long
     lib.fusg_tracking_count.argtypes = [ctypes.c_char_p]
     lib.fusg_tracking_parse.restype = ctypes.c_long
@@ -137,6 +145,29 @@ def write_png(path, rgb_u8: np.ndarray) -> None:
         if rc == 0:
             return
     _write_png_fallback(path, rgb_u8)
+
+
+def read_png(path) -> Optional[np.ndarray]:
+    """Decode a PNG to an RGB8 (H, W, 3) array with the native decoder
+    (native/fusg_io.cc: 8-bit gray/RGB/RGBA, all scanline filters) — the
+    cv2-free counterpart of cv2.imread for VideoReader's frame-dir ingestion.
+    Returns None when the native library is unavailable; raises on a corrupt
+    or unsupported (palette/16-bit/interlaced) file."""
+    lib = get_native()
+    if lib is None:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.fusg_png_info(str(path).encode(), ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise IOError(f"native PNG probe failed for {path} (rc={rc})")
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.fusg_read_png(
+        str(path).encode(), out.ctypes.data_as(ctypes.c_char_p), h.value, w.value
+    )
+    if rc != 0:
+        raise IOError(f"native PNG decode failed for {path} (rc={rc})")
+    return out
 
 
 def parse_tracking_native(path) -> Optional[np.ndarray]:

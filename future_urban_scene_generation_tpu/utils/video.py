@@ -60,13 +60,101 @@ def inverse_homography(homography: np.ndarray, scale_calib: bool = False) -> np.
     return inv
 
 
+def resize_bilinear_np(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
+    """Host-side bilinear resize with cv2's half-pixel/replicate-border
+    convention (INTER_LINEAR) in pure numpy — the no-OpenCV counterpart of the
+    reference's cv2.resize at the video-ingest edge (run_test.py:125-128 feeds
+    1280x720 frames, GUI/app_interface.py:181). Matches cv2 to ~1e-7 away from
+    borders (pinned in tests/test_native_io.py)."""
+    out_h, out_w = out_hw
+    h, w = img.shape[:2]
+    if (h, w) == (out_h, out_w):
+        return img
+    x = img.astype(np.float32, copy=False)
+
+    def axis_weights(n_in, n_out):
+        c = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+        lo = np.floor(c)
+        f = (c - lo).astype(np.float32)
+        i0 = np.clip(lo, 0, n_in - 1).astype(np.int64)
+        i1 = np.clip(lo + 1, 0, n_in - 1).astype(np.int64)
+        return i0, i1, f
+
+    y0, y1, fy = axis_weights(h, out_h)
+    x0, x1, fx = axis_weights(w, out_w)
+    top = x[y0][:, x0] * (1 - fx)[None, :, None] + x[y0][:, x1] * fx[None, :, None]
+    bot = x[y1][:, x0] * (1 - fx)[None, :, None] + x[y1][:, x1] * fx[None, :, None]
+    out = top * (1 - fy)[:, None, None] + bot * fy[:, None, None]
+    return out.astype(img.dtype) if img.dtype == np.float32 else out
+
+
+class _FfmpegReader:
+    """Video-file frame reader over an ffmpeg subprocess — the documented
+    no-OpenCV fallback for the reference's vdo.avi contract
+    (run_test.py:125-128). Each read decodes from the stream start via the
+    select filter (frame-exact, O(frame_id) per read — fine for the demo's
+    6-frame rollouts; batch/streaming ingest uses frame dirs or cv2)."""
+
+    def __init__(self, path):
+        import shutil
+        import subprocess
+
+        self._ffmpeg = shutil.which("ffmpeg")
+        if self._ffmpeg is None:
+            raise RuntimeError(
+                "cv2 unavailable and no ffmpeg on PATH: video files need one "
+                "of them (frame DIRECTORIES decode natively, no dependency)"
+            )
+        self._path = str(path)
+        # Probe dimensions from ffmpeg's stream banner.
+        proc = subprocess.run(
+            [self._ffmpeg, "-hide_banner", "-i", self._path],
+            capture_output=True, text=True,
+        )
+        import re
+
+        m = re.search(r"Video:.* (\d{2,5})x(\d{2,5})", proc.stderr)
+        if not m:
+            raise IOError(f'Error opening video "{path}" (no video stream)')
+        self.width, self.height = int(m.group(1)), int(m.group(2))
+
+    def read_rgb(self, idx: int) -> Optional[np.ndarray]:
+        import subprocess
+
+        proc = subprocess.run(
+            [
+                self._ffmpeg, "-hide_banner", "-loglevel", "error",
+                "-i", self._path, "-vf", f"select=eq(n\\,{idx})",
+                "-vsync", "0", "-frames:v", "1",
+                "-f", "rawvideo", "-pix_fmt", "rgb24", "-",
+            ],
+            capture_output=True,
+        )
+        expected = self.height * self.width * 3
+        if len(proc.stdout) < expected:
+            return None  # past the end
+        return np.frombuffer(proc.stdout[:expected], np.uint8).reshape(
+            self.height, self.width, 3
+        )
+
+
 class VideoReader:
-    """Thin frame reader over cv2.VideoCapture when available; falls back to a
-    directory of numbered .npy/.png frames for environments without OpenCV."""
+    """Frame reader for the demo's input contract (run_test.py:125-128).
+
+    Sources, in order of preference:
+      * a DIRECTORY of numbered .npy/.png frames — fully dependency-free:
+        PNGs decode through the native zlib decoder (native/fusg_io.cc,
+        utils.native.read_png) with cv2 as fallback only if the native
+        library cannot build;
+      * a video file (vdo.avi) via cv2.VideoCapture when OpenCV is present,
+        else an ffmpeg subprocess (_FfmpegReader) when ffmpeg is on PATH.
+    Resizing never silently no-ops: without cv2 it runs the numpy bilinear
+    resize (cv2 INTER_LINEAR convention)."""
 
     def __init__(self, source, resize_hw: Optional[Tuple[int, int]] = (720, 1280)):
         self.resize_hw = resize_hw
         self._cap = None
+        self._ffmpeg = None
         self._frames_dir = None
         source = Path(source)
         if source.is_dir():
@@ -76,11 +164,39 @@ class VideoReader:
         else:
             try:
                 import cv2
-            except ImportError as exc:
-                raise RuntimeError("cv2 unavailable and source is not a frame dir") from exc
-            self._cap = cv2.VideoCapture(str(source))
-            if not self._cap.isOpened():
-                raise IOError(f'Error opening video "{source}"')
+
+                self._cap = cv2.VideoCapture(str(source))
+                if not self._cap.isOpened():
+                    raise IOError(f'Error opening video "{source}"')
+            except ImportError:
+                self._ffmpeg = _FfmpegReader(source)
+
+    def _resize(self, frame: np.ndarray) -> np.ndarray:
+        if self.resize_hw is None or frame.shape[:2] == tuple(self.resize_hw):
+            return frame
+        try:
+            import cv2
+
+            return cv2.resize(frame, (self.resize_hw[1], self.resize_hw[0]))
+        except ImportError:
+            return resize_bilinear_np(frame, self.resize_hw)
+
+    def _decode_image(self, path) -> np.ndarray:
+        if path.suffix == ".npy":
+            return np.load(path)
+        try:
+            from future_urban_scene_generation_tpu.utils.native import read_png
+
+            frame = read_png(path)
+            if frame is not None:
+                return frame
+        except IOError:
+            raise
+        except Exception:
+            pass  # native library unavailable -> cv2 fallback below
+        import cv2
+
+        return cv2.imread(str(path))[..., ::-1]
 
     def read(self, frame_id: int) -> Optional[np.ndarray]:
         """Frame by 1-based id, resized, RGB float32 [0,1]. None past the end."""
@@ -91,29 +207,20 @@ class VideoReader:
             ret, frame = self._cap.read()
             if not ret:
                 return None
-            if self.resize_hw is not None:
-                frame = cv2.resize(frame, (self.resize_hw[1], self.resize_hw[0]))
+            frame = self._resize(frame)
             return frame[..., ::-1].astype(np.float32) / 255.0  # BGR -> RGB
+        if self._ffmpeg is not None:
+            frame = self._ffmpeg.read_rgb(frame_id - 1)
+            if frame is None:
+                return None
+            return self._resize(frame.astype(np.float32) / 255.0)
         idx = frame_id - 1
         if idx < 0 or idx >= len(self._frames_dir):
             return None
-        path = self._frames_dir[idx]
-        if path.suffix == ".npy":
-            frame = np.load(path)
-        else:
-            import cv2
-
-            frame = cv2.imread(str(path))[..., ::-1]
+        frame = self._decode_image(self._frames_dir[idx])
         if frame.dtype == np.uint8:
             frame = frame.astype(np.float32) / 255.0
-        if self.resize_hw is not None and frame.shape[:2] != tuple(self.resize_hw):
-            try:
-                import cv2
-
-                frame = cv2.resize(frame, (self.resize_hw[1], self.resize_hw[0]))
-            except ImportError:
-                pass  # keep native resolution when cv2 is unavailable
-        return frame
+        return self._resize(frame)
 
 
 def select_future_track(

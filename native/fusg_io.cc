@@ -10,7 +10,11 @@
 //     trajectory_inference.py:461-473);
 //   * a zero-copy-ish CityFlow tracking-CSV parser (10 columns, first 6 kept —
 //     utils/video_info_utils.py:7-21) that is ~20x faster than np.loadtxt on the
-//     multi-MB mtsc files.
+//     multi-MB mtsc files;
+//   * a PNG *decoder* (8-bit gray/RGB/RGBA, all 5 scanline filters,
+//     multi-IDAT, non-interlaced) so VideoReader's frame-directory ingestion
+//     (the no-OpenCV counterpart of run_test.py:125-128's cv2.VideoCapture)
+//     needs no cv2 — only this library's zlib dependency.
 //
 // Build: make -C native   (g++ -O3 -shared -fPIC fusg_io.cc -lz -lpthread)
 
@@ -207,6 +211,193 @@ int fusg_write_png(const char* path, const uint8_t* rgb, int height, int width) 
   size_t n = std::fwrite(png.data(), 1, png.size(), f);
   std::fclose(f);
   return n == png.size() ? 0 : 3;
+}
+
+// ---------------------------------------------------------------------------
+// PNG decoder: 8-bit gray / gray+alpha / RGB / RGBA, filters 0-4, multi-IDAT,
+// non-interlaced. Output is always RGB8 (alpha dropped, gray replicated).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+uint32_t get_be32(const uint8_t* p) {
+  return (static_cast<uint32_t>(p[0]) << 24) | (static_cast<uint32_t>(p[1]) << 16) |
+         (static_cast<uint32_t>(p[2]) << 8) | p[3];
+}
+
+struct PngImage {
+  int height = 0, width = 0, channels = 0;  // channels of the SOURCE (1/2/3/4)
+  std::vector<uint8_t> raw;                 // defiltered, channels interleaved
+};
+
+inline uint8_t paeth(int a, int b, int c) {
+  int p = a + b - c;
+  int pa = std::abs(p - a), pb = std::abs(p - b), pc = std::abs(p - c);
+  if (pa <= pb && pa <= pc) return static_cast<uint8_t>(a);
+  if (pb <= pc) return static_cast<uint8_t>(b);
+  return static_cast<uint8_t>(c);
+}
+
+// Returns 0 on success; negative error codes otherwise.
+int decode_png(const uint8_t* data, size_t size, PngImage& img) {
+  static const uint8_t sig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
+  if (size < 8 + 25 || std::memcmp(data, sig, 8) != 0) return -1;
+
+  size_t pos = 8;
+  std::vector<uint8_t> idat;
+  bool have_ihdr = false;
+  int bit_depth = 0, color_type = 0;
+  while (pos + 12 <= size) {
+    uint32_t len = get_be32(data + pos);
+    const char* type = reinterpret_cast<const char*>(data + pos + 4);
+    if (pos + 12 + len > size) return -2;
+    const uint8_t* body = data + pos + 8;
+    if (std::memcmp(type, "IHDR", 4) == 0) {
+      if (len != 13) return -2;
+      img.width = static_cast<int>(get_be32(body));
+      img.height = static_cast<int>(get_be32(body + 4));
+      bit_depth = body[8];
+      color_type = body[9];
+      if (body[12] != 0) return -3;  // interlaced: unsupported
+      if (bit_depth != 8) return -4;
+      switch (color_type) {
+        case 0: img.channels = 1; break;
+        case 2: img.channels = 3; break;
+        case 4: img.channels = 2; break;
+        case 6: img.channels = 4; break;
+        default: return -5;  // palette (3) unsupported
+      }
+      if (img.width <= 0 || img.height <= 0 ||
+          static_cast<int64_t>(img.width) * img.height > (1LL << 31)) {
+        return -6;
+      }
+      have_ihdr = true;
+    } else if (std::memcmp(type, "IDAT", 4) == 0) {
+      idat.insert(idat.end(), body, body + len);
+    } else if (std::memcmp(type, "IEND", 4) == 0) {
+      break;
+    }
+    pos += 12 + len;
+  }
+  if (!have_ihdr || idat.empty()) return -7;
+
+  const size_t bpp = static_cast<size_t>(img.channels);
+  const size_t stride = static_cast<size_t>(img.width) * bpp;
+  std::vector<uint8_t> filtered((stride + 1) * img.height);
+  uLongf out_len = static_cast<uLongf>(filtered.size());
+  if (uncompress(filtered.data(), &out_len, idat.data(),
+                 static_cast<uLong>(idat.size())) != Z_OK ||
+      out_len != filtered.size()) {
+    return -8;
+  }
+
+  img.raw.assign(stride * img.height, 0);
+  for (int y = 0; y < img.height; ++y) {
+    const uint8_t filter = filtered[y * (stride + 1)];
+    const uint8_t* src = &filtered[y * (stride + 1) + 1];
+    uint8_t* dst = &img.raw[y * stride];
+    const uint8_t* up = y ? &img.raw[(y - 1) * stride] : nullptr;
+    switch (filter) {
+      case 0:
+        std::memcpy(dst, src, stride);
+        break;
+      case 1:  // Sub
+        for (size_t x = 0; x < stride; ++x)
+          dst[x] = src[x] + (x >= bpp ? dst[x - bpp] : 0);
+        break;
+      case 2:  // Up
+        for (size_t x = 0; x < stride; ++x) dst[x] = src[x] + (up ? up[x] : 0);
+        break;
+      case 3:  // Average
+        for (size_t x = 0; x < stride; ++x) {
+          int a = x >= bpp ? dst[x - bpp] : 0;
+          int b = up ? up[x] : 0;
+          dst[x] = src[x] + static_cast<uint8_t>((a + b) >> 1);
+        }
+        break;
+      case 4:  // Paeth
+        for (size_t x = 0; x < stride; ++x) {
+          int a = x >= bpp ? dst[x - bpp] : 0;
+          int b = up ? up[x] : 0;
+          int c = (up && x >= bpp) ? up[x - bpp] : 0;
+          dst[x] = src[x] + paeth(a, b, c);
+        }
+        break;
+      default:
+        return -9;
+    }
+  }
+  return 0;
+}
+
+int read_file(const char* path, std::vector<uint8_t>& out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (size < 0) { std::fclose(f); return -1; }
+  out.resize(static_cast<size_t>(size));
+  size_t n = size ? std::fread(out.data(), 1, out.size(), f) : 0;
+  std::fclose(f);
+  return n == out.size() ? 0 : -1;
+}
+
+}  // namespace
+
+// Probe a PNG's dimensions. Returns 0 and fills (height, width) on success.
+int fusg_png_info(const char* path, int* height, int* width) {
+  std::vector<uint8_t> data;
+  if (read_file(path, data) != 0) return -1;
+  PngImage img;
+  // Full decode would also work, but only the IHDR is needed: parse chunks
+  // until IHDR via decode_png's validation by decoding fully is wasteful for
+  // a probe — still, file sizes here are small; reuse the decoder for
+  // correctness of validation.
+  int rc = decode_png(data.data(), data.size(), img);
+  if (rc != 0) return rc;
+  *height = img.height;
+  *width = img.width;
+  return 0;
+}
+
+// Decode a PNG file into caller-allocated RGB8 (height*width*3 bytes, row
+// major). (height, width) must match fusg_png_info. Gray replicates, alpha
+// drops. Returns 0 on success.
+int fusg_read_png(const char* path, uint8_t* rgb_out, int height, int width) {
+  std::vector<uint8_t> data;
+  if (read_file(path, data) != 0) return -1;
+  PngImage img;
+  int rc = decode_png(data.data(), data.size(), img);
+  if (rc != 0) return rc;
+  if (img.height != height || img.width != width) return -10;
+  const size_t n = static_cast<size_t>(height) * width;
+  const uint8_t* src = img.raw.data();
+  switch (img.channels) {
+    case 3:
+      std::memcpy(rgb_out, src, n * 3);
+      break;
+    case 4:
+      for (size_t i = 0; i < n; ++i) {
+        rgb_out[i * 3 + 0] = src[i * 4 + 0];
+        rgb_out[i * 3 + 1] = src[i * 4 + 1];
+        rgb_out[i * 3 + 2] = src[i * 4 + 2];
+      }
+      break;
+    case 1:
+      for (size_t i = 0; i < n; ++i) {
+        rgb_out[i * 3 + 0] = rgb_out[i * 3 + 1] = rgb_out[i * 3 + 2] = src[i];
+      }
+      break;
+    case 2:
+      for (size_t i = 0; i < n; ++i) {
+        rgb_out[i * 3 + 0] = rgb_out[i * 3 + 1] = rgb_out[i * 3 + 2] = src[i * 2];
+      }
+      break;
+    default:
+      return -11;
+  }
+  return 0;
 }
 
 // ---------------------------------------------------------------------------
