@@ -187,3 +187,71 @@ def test_tracking_stream_runner_end_to_end():
     for r in results:
         assert r.frames_icn.shape == (3, H, W, 3)
         assert np.isfinite(np.asarray(r.frames_icn)).all()
+
+
+@pytest.mark.slow
+def test_multi_stream_runner_two_cameras():
+    """MultiStreamRunner (BASELINE config 4): two camera streams with separate
+    backgrounds/trackers multiplex onto one shared warm program set; each
+    stream's tracks and synthesized scenes stay isolated, and the final
+    detections fold in at flush."""
+    from future_urban_scene_generation_tpu.pipeline import runner, stages, streaming
+    from future_urban_scene_generation_tpu.utils import mesh as mu
+
+    H, W = 240, 320
+    K = np.array([[300.0, 0, W / 2], [0, 300.0, H / 2], [0, 0, 1]], np.float32)
+    mesh, kp3d = mu.make_test_car(subdiv=1)
+    cad_bank = runner.build_cad_bank([mesh], [kp3d], scale=5.0)
+    key = jax.random.PRNGKey(0)
+    cadm, hgm, icnm, vunm = stages.Models.modules()
+    dummy = jnp.zeros((1, 256, 256, 3))
+    models = stages.Models(
+        cad_params=jax.jit(cadm.init)(key, dummy),
+        hourglass_params=jax.jit(hgm.init)(key, dummy),
+        icn_params=jax.jit(icnm.init)(key, jnp.zeros((1, 256, 256, 21))),
+        vunet_params=jax.jit(
+            lambda k: vunm.init(
+                {"params": k}, dummy, jnp.zeros((1, 256, 256, 6)), cov=0.0
+            )
+        )(key),
+    )
+
+    bgs = [np.zeros((H, W, 3), np.float32) + 0.1,
+           np.zeros((H, W, 3), np.float32) + 0.2]
+
+    def make_detector(i):
+        return trk.BackgroundDiffDetector(
+            jnp.asarray(bgs[i]), scale=8, min_area_px=100
+        )
+
+    multi = streaming.MultiStreamRunner(
+        models, cad_bank, K, (H, W), n_vehicles=1, n_streams=2,
+        make_detector=make_detector, n_steps=3, depth=1, min_track_frames=2,
+        overlap_detect=False,
+    )
+
+    results = [[], []]
+    tracked = [0, 0]
+    for t in range(6):
+        for i in range(2):
+            # Camera 0's vehicle moves right, camera 1's moves down.
+            frame = bgs[i].copy()
+            if i == 0:
+                x0 = 60 + 12 * t
+                frame[120:170, x0:x0 + 70] = 0.9
+            else:
+                y0 = 60 + 10 * t
+                frame[y0:y0 + 50, 120:190] = 0.9
+            out, tracks = multi.submit_frame(i, frame)
+            tracked[i] = max(tracked[i], len(tracks))
+            if out is not None:
+                results[i].append(out)
+    for i, extra in enumerate(multi.flush()):
+        results[i].extend(extra)
+
+    assert tracked == [1, 1]  # per-camera trackers stay isolated
+    for i in range(2):
+        assert len(results[i]) >= 3
+        for r in results[i]:
+            assert r.frames_icn.shape == (3, H, W, 3)
+            assert np.isfinite(np.asarray(r.frames_icn)).all()

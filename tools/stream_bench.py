@@ -24,6 +24,14 @@ ap.add_argument("--detector", default="bgdiff", choices=["bgdiff", "maskrcnn"])
 ap.add_argument("--no-overlap", action="store_true",
                 help="A/B: synchronous per-frame detector readback instead of "
                      "the overlapped dispatch/finalize split")
+ap.add_argument("--streams", type=int, default=1,
+                help="camera streams multiplexed onto the chip "
+                     "(streaming.MultiStreamRunner; BASELINE config 4). "
+                     "Round-robin submission; reports the aggregate "
+                     "composited fps over one wall clock.")
+ap.add_argument("--hd", action="store_true",
+                help="1080p frames (config 4's resolution) instead of the "
+                     "reference contract's 720p")
 args = ap.parse_args()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -37,7 +45,7 @@ from future_urban_scene_generation_tpu.pipeline import runner, stages, streaming
 from future_urban_scene_generation_tpu.pipeline import tracking as trk
 from future_urban_scene_generation_tpu.utils import mesh as mu
 
-H, W = 720, 1280
+H, W = (1080, 1920) if args.hd else (720, 1280)
 V, S = 4, 6
 K = np.array([[900.0, 0, W/2], [0, 900.0, H/2], [0, 0, 1]], np.float32)
 mesh, kp3d = mu.make_test_car(subdiv=2)
@@ -55,8 +63,14 @@ models = stages.Models(
 rng = np.random.RandomState(0)
 bg_u8 = (rng.rand(H, W, 3) * 40).astype(np.uint8)  # dark-ish static background
 bg_f = jnp.asarray(bg_u8.astype(np.float32) / 255.0)
-detector = trk.BackgroundDiffDetector(bg_f, threshold=0.15, scale=8,
+
+
+def make_bgdiff(_i):
+    return trk.BackgroundDiffDetector(bg_f, threshold=0.15, scale=8,
                                       min_area_px=40*40, max_boxes=V)
+
+
+detector = make_bgdiff(0)
 if args.detector == "maskrcnn":
     from future_urban_scene_generation_tpu.models.maskrcnn import MaskRCNN
 
@@ -82,19 +96,57 @@ if args.detector == "maskrcnn":
             return self.finalize(self.dispatch(frame))
 
     detector = _UnionDetector()  # noqa: F811
+
+
+def make_frame(t, phase=0):
+    f = bg_u8.copy()
+    for v in range(V):
+        x0 = 100 + (220 + 15 * phase) * v + 6 * t
+        y0 = 200 + (60 + 20 * phase) * (v % 2) + 2 * t
+        f[y0:y0+110, x0:x0+180] = 180 + 10 * v + 5 * phase
+    return f
+
+
+if args.streams > 1:
+    # Multi-camera serving (BASELINE config 4): N per-camera trackers, one
+    # shared warm program set, round-robin submission. Aggregate fps over ONE
+    # wall clock across all streams.
+    if args.detector != "bgdiff":
+        raise SystemExit("--streams currently benches the bgdiff front-end")
+    multi = streaming.MultiStreamRunner(
+        models, cad_bank, K, (H, W), n_vehicles=V, n_streams=args.streams,
+        make_detector=make_bgdiff, n_steps=S, depth=2, min_track_frames=2,
+        overlap_detect=not args.no_overlap,
+    )
+    for t in range(8):  # warm-up: tracks + the one shared compile
+        for i in range(args.streams):
+            multi.submit_frame(i, make_frame(t, phase=i))
+    multi.flush()
+
+    N = 30
+    t0 = time.perf_counter()
+    scenes = 0
+    for t in range(8, 8 + N):
+        for i in range(args.streams):
+            out, _tracks = multi.submit_frame(i, make_frame(t, phase=i))
+            scenes += out is not None
+    scenes += sum(len(r) for r in multi.flush())
+    dt = time.perf_counter() - t0
+    fps = scenes * 2 * S / dt
+    print(json.dumps({
+        "metric": "multistream_aggregate_fps", "streams": args.streams,
+        "resolution": f"{W}x{H}", "scenes": scenes, "wall_s": round(dt, 3),
+        "composited_fps": round(fps, 2),
+        "per_stream_fps": round(fps / args.streams, 2),
+        "detector": args.detector,
+    }))
+    raise SystemExit(0)
+
 stream = streaming.TrackingStreamRunner(
     models, cad_bank, K, (H, W), n_vehicles=V, n_steps=S,
     depth=2, detector=detector, inv_homography=None, min_track_frames=2,
     overlap_detect=not args.no_overlap,
 )
-
-def make_frame(t):
-    f = bg_u8.copy()
-    for v in range(V):
-        x0 = 100 + 250 * v + 6 * t
-        y0 = 200 + 60 * (v % 2) + 2 * t
-        f[y0:y0+110, x0:x0+180] = 180 + 10 * v
-    return f
 
 # Warm-up: build tracks + compile everything (detector mask, scene program).
 for t in range(8):
@@ -114,4 +166,5 @@ dt = time.perf_counter() - t0
 fps = scenes * 2 * S / dt
 print(json.dumps({"metric": "streaming_detect_track_fps", "scenes": scenes,
                   "wall_s": round(dt, 3), "composited_fps": round(fps, 2),
-                  "tracks": len(tracks), "detector": args.detector}))
+                  "tracks": len(tracks), "detector": args.detector,
+                  "resolution": f"{W}x{H}"}))
