@@ -51,6 +51,32 @@ def _filter2d_valid(img: jnp.ndarray, k1d: np.ndarray) -> jnp.ndarray:
     return img
 
 
+def ssim_map(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
+    """Per-pixel SSIM map over the VALID window region ((H-10, W-10) for the
+    11-tap Gaussian); channels averaged. mean(ssim_map) == ssim. Used by
+    tools/fidelity_attribution.py to localize crossval deficits by region."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    if a.ndim == 3:
+        return jnp.mean(
+            jnp.stack(
+                [ssim_map(a[..., c], b[..., c], max_val) for c in range(a.shape[-1])]
+            ),
+            axis=0,
+        )
+    k1d = _gaussian_window()
+    c1 = (0.01 * max_val) ** 2
+    c2 = (0.03 * max_val) ** 2
+    mu_a = _filter2d_valid(a, k1d)
+    mu_b = _filter2d_valid(b, k1d)
+    var_a = _filter2d_valid(a * a, k1d) - mu_a**2
+    var_b = _filter2d_valid(b * b, k1d) - mu_b**2
+    cov = _filter2d_valid(a * b, k1d) - mu_a * mu_b
+    num = (2 * mu_a * mu_b + c1) * (2 * cov + c2)
+    den = (mu_a**2 + mu_b**2 + c1) * (var_a + var_b + c2)
+    return num / den
+
+
 def ssim(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
     """Mean SSIM over an (H, W) or (H, W, C) image pair (channels averaged)."""
     a = a.astype(jnp.float32)

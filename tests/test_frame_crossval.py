@@ -440,12 +440,30 @@ def test_traj_test_composite_crossval(ref_traj, tmp_path, monkeypatch):
     print("frame SSIM icn:", [f"{v:.4f}" for v in icn_ssims])
     print("frame SSIM vunet:", [f"{v:.4f}" for v in vun_ssims])
 
+    # Attribution hook (tools/fidelity_attribution.py): dump both sides'
+    # frames + the vehicle mask so the SSIM deficit can be localized offline.
+    dump = os.environ.get("FUSG_CROSSVAL_DUMP")
+    if dump:
+        os.makedirs(dump, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(dump, "crossval_frames.npz"),
+            ref_icn=ref_icn, ref_vun=ref_vun, ours_icn=ours_icn,
+            ours_vun=ours_vun, veh_mask=np.asarray(veh_region),
+            bg=bg_u8, icn_ssims=np.asarray(icn_ssims),
+            vun_ssims=np.asarray(vun_ssims),
+        )
+
     # Full-frame SSIM: backgrounds are identical, the vehicle occupies a small
     # window whose content agrees up to the documented resample-chain deltas
     # (PARITY.md §1-3: crop-window rendering, single-resample warps).
     # Measured on this scene: icn 0.964-0.997, vunet 0.983-0.998 per frame.
-    assert min(icn_ssims) > 0.95, icn_ssims
-    assert min(vun_ssims) > 0.95, vun_ssims
+    # The deficit is attributed in PARITY.md "Fidelity attribution": composite
+    # background exact to 3e-6; all deficit inside the <3% vehicle footprint,
+    # where RANDOM-weight generators amplify ~1e-2 input deltas into texture
+    # decorrelation (worst case vs trained checkpoints). Floor = the
+    # attributed bound on this pinned deterministic scene.
+    assert min(icn_ssims) > 0.96, icn_ssims
+    assert min(vun_ssims) > 0.98, vun_ssims
 
     # And the integration actually synthesized a vehicle on our side too.
     assert np.abs(ours_icn[0] - np.asarray(bg_rgb)[..., ::-1])[veh_region].max() > 0.05
