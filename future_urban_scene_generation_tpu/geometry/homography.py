@@ -55,6 +55,55 @@ def _dlt(src_n, dst_n):
     return h.reshape(3, 3), eigvals
 
 
+def _gn_polish_normed(h, src_n, dst_n, iters: int = 2):
+    """Analytic-Jacobian Gauss-Newton polish of the DLT null vector, in the
+    Hartley-normalized frame.
+
+    Why this exists: forming A^T A squares the DLT system's condition number,
+    so in f32 the eigh null vector of a SLIVER polygon's system (front/back
+    texture planes near edge-on) carries multi-pixel transfer error — measured
+    7.3 px on a degenerate quad, and worse, the error is partitioning-dependent
+    (XLA fuses the A/A^T A formation differently under SPMD batch sharding, so
+    `synthesize_scene_sharded` warped those planes differently than the
+    single-chip program). Two GN steps on the transfer residual converge to the
+    4-point-interpolating homography regardless of those last-bit input
+    differences: measured 7.3 px -> 0.015 px on the sliver and ~f32-floor
+    (<2e-5 px) elsewhere, restoring sharded == unsharded to float noise.
+
+    Unlike :func:`_sampson_refine` the Jacobian is closed-form (d pred / dh for
+    pred = (h0.p, h1.p)/h2.p), so this adds no jacfwd subgraphs to the scene
+    program — the compile-cost reason the warp path runs refine=False stands.
+    Gauge: scaling h leaves pred invariant, so J h = 0 exactly and J^T r is
+    orthogonal to h; adding tr * h h^T to the damped normal matrix fills that
+    null direction at the dominant eigenvalue scale WITHOUT changing the
+    solution, keeping the 9x9 solve well-conditioned in f32.
+    """
+    n = src_n.shape[0]
+    p = jnp.concatenate([src_n, jnp.ones((n, 1), src_n.dtype)], axis=1)  # (n,3)
+    zeros = jnp.zeros((n, 3), src_n.dtype)
+    eye9 = jnp.eye(9, dtype=src_n.dtype)
+
+    for _ in range(iters):
+        h_m = h.reshape(3, 3)
+        cp = p @ h_m[2]
+        cp = jnp.where(jnp.abs(cp) < 1e-12, 1e-12, cp)
+        pred_x = (p @ h_m[0]) / cp
+        pred_y = (p @ h_m[1]) / cp
+        r = jnp.concatenate([pred_x - dst_n[:, 0], pred_y - dst_n[:, 1]])
+        p_cp = p / cp[:, None]
+        j_x = jnp.concatenate([p_cp, zeros, -pred_x[:, None] * p_cp], axis=1)
+        j_y = jnp.concatenate([zeros, p_cp, -pred_y[:, None] * p_cp], axis=1)
+        j = jnp.concatenate([j_x, j_y], axis=0)  # (2n, 9)
+        jtj = j.T @ j
+        tr = jnp.trace(jtj)
+        m = jtj + tr * jnp.outer(h, h) + (1e-7 * tr) * eye9
+        delta = jnp.linalg.solve(m, -(j.T @ r))
+        cand = h + delta
+        cand = cand / jnp.maximum(jnp.linalg.norm(cand), 1e-12)
+        h = jnp.where(jnp.all(jnp.isfinite(cand)), cand, h)
+    return h
+
+
 def _sampson_refine(h_mat, src, dst, iters: int = 10):
     """Gauss-Newton refinement of the transfer error (cv2's post-DLT LM polish)."""
     h0 = h_mat.reshape(9)
@@ -97,6 +146,11 @@ def find_homography(
     src_n, t_src = _normalize_points(src)
     dst_n, t_dst = _normalize_points(dst)
     h_n, eigvals = _dlt(src_n, dst_n)
+    if not refine:
+        # The cheap closed-form polish replaces the sampson pass on the
+        # refine=False (plane-warp) path — see _gn_polish_normed for why the
+        # bare f32 eigh null vector is not enough there.
+        h_n = _gn_polish_normed(h_n.reshape(9), src_n, dst_n).reshape(3, 3)
     # Denormalize: H = T_dst^-1 H_n T_src
     h_mat = jnp.linalg.solve(t_dst, h_n @ t_src)
 

@@ -258,7 +258,13 @@ def _generate_core(models, frame, background, geom, cad_idx):
         vun = stages.vunet_decode_batch(models, sketches_c, mu_rep)
         return icn, vun
 
-    if chunk and n > chunk and n % chunk == 0 and chunk % s == 0:
+    # Chunk only in the measured thrash zone: batch 48 loses ~24 ms/scene to
+    # relayout copies and chunking wins 20% (V=8: 61.2 -> 73.6 fps), but the
+    # batch-96 monolith does NOT thrash the same way and beats 4 sequential
+    # chunks by 14% (V=16: 39.4 vs 34.5 fps — the chunks forgo batch-96 MXU
+    # utilization). So: exactly-two-chunk batches scan; larger batches keep
+    # the monolithic apply.
+    if chunk and n > chunk and n <= 2 * chunk and n % chunk == 0 and chunk % s == 0:
         nc = n // chunk
         cv = chunk // s  # whole vehicles per chunk (chunk % s == 0)
 

@@ -139,3 +139,20 @@ def test_input_validation_errors(tmp_path):
     np.savetxt(bad, np.zeros((3, 7)), delimiter=",")  # 7 cols, not 10
     with pytest.raises(ValueError):
         vio.parse_tracking_file(tmp_path, "tc", "ssd512")
+
+
+@pytest.mark.slow
+def test_warmup_cli_fills_cache(tmp_path):
+    """cli.warmup precompiles the requested vehicle buckets into the
+    persistent cache (the deploy-time answer to the cold-compile cliff,
+    docs/SERVING.md): one run at a tiny shape compiles + executes the scene
+    program for each bucket and the cache directory is non-empty after."""
+    from future_urban_scene_generation_tpu.cli import warmup
+
+    cache = tmp_path / "cache"
+    warmup.main([
+        "--frame-hw", "96", "128", "--vehicles", "1", "--steps", "2",
+        "--generator-dtype", "float32", "--warp-plane-res", "64",
+        "--cache-dir", str(cache),
+    ])
+    assert cache.is_dir() and any(cache.iterdir())
