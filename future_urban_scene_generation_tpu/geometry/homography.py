@@ -97,7 +97,10 @@ def _gn_polish_normed(h, src_n, dst_n, iters: int = 2):
         jtj = j.T @ j
         tr = jnp.trace(jtj)
         m = jtj + tr * jnp.outer(h, h) + (1e-7 * tr) * eye9
-        delta = jnp.linalg.solve(m, -(j.T @ r))
+        # m is SPD by construction (damping + gauge fill), so Cholesky: on TPU
+        # the tiny-matrix LU's pivoting while_loop is pure latency.
+        chol = jax.scipy.linalg.cho_factor(m)
+        delta = jax.scipy.linalg.cho_solve(chol, -(j.T @ r))
         cand = h + delta
         cand = cand / jnp.maximum(jnp.linalg.norm(cand), 1e-12)
         h = jnp.where(jnp.all(jnp.isfinite(cand)), cand, h)
@@ -128,6 +131,103 @@ def _sampson_refine(h_mat, src, dst, iters: int = 10):
 
     hv, _ = jax.lax.scan(step, h0, None, length=iters)
     return hv.reshape(3, 3)
+
+
+def _unit_square_to_quad(q):
+    """Closed-form projective map from the unit square's corners
+    (0,0),(1,0),(1,1),(0,1) to quad corners ``q`` (4, 2) — the classic
+    bilinear-to-projective construction: one 2x2 Cramer solve for the
+    perspective terms (g, h), everything else affine."""
+    s = q[0] - q[1] + q[2] - q[3]
+    d1 = q[1] - q[2]
+    d2 = q[3] - q[2]
+    den = d1[0] * d2[1] - d1[1] * d2[0]
+    den = jnp.where(jnp.abs(den) < 1e-20, 1e-20, den)
+    g = (s[0] * d2[1] - s[1] * d2[0]) / den
+    h = (d1[0] * s[1] - d1[1] * s[0]) / den
+    a = q[1] - q[0] + g * q[1]
+    b = q[3] - q[0] + h * q[3]
+    one = jnp.ones((), q.dtype)
+    return jnp.stack([
+        jnp.stack([a[0], b[0], q[0, 0]]),
+        jnp.stack([a[1], b[1], q[0, 1]]),
+        jnp.stack([g, h, one]),
+    ])
+
+
+def _adj3(m):
+    """Adjugate of a 3x3 (closed form): adj(M) = det(M) * M^-1 without the
+    division, so composing with it keeps a homography's projective scale
+    freedom instead of amplifying a near-zero determinant."""
+    def cof(i0, i1, j0, j1):
+        return m[i0, j0] * m[i1, j1] - m[i0, j1] * m[i1, j0]
+
+    return jnp.stack([
+        jnp.stack([cof(1, 2, 1, 2), -cof(0, 2, 1, 2), cof(0, 1, 1, 2)]),
+        jnp.stack([-cof(1, 2, 0, 2), cof(0, 2, 0, 2), -cof(0, 1, 0, 2)]),
+        jnp.stack([cof(1, 2, 0, 1), -cof(0, 2, 0, 1), cof(0, 1, 0, 1)]),
+    ])
+
+
+def _quad_nondegenerate(q, tol: float = 1e-4):
+    """True iff every corner triangle of the (Hartley-normalized) quad has
+    |cross| above ``tol`` — the rank condition of the 4-point DLT system
+    (>= 3 collinear or coincident corners is exactly where cv2.findHomography
+    returns None). Normalized quads have O(1) extent, so the threshold is
+    scale-free; a 1-px-thick sliver on a 100-px plane measures ~0.05, two
+    orders above it."""
+    crosses = []
+    for i in range(4):
+        e1 = q[(i + 1) % 4] - q[i]
+        e2 = q[(i + 2) % 4] - q[i]
+        crosses.append(jnp.abs(e1[0] * e2[1] - e1[1] * e2[0]))
+    return jnp.min(jnp.stack(crosses)) > tol
+
+
+@full_precision
+def find_homography_quad(
+    src: jnp.ndarray, dst: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closed-form exact-interpolation homography for EXACTLY 4 correspondences.
+
+    H = S2Q(dst_n) @ adj(S2Q(src_n)) on Hartley-normalized points — two 2x2
+    Cramer solves, one adjugate, two 3x3 matmuls. No eigensolve, no LU: on TPU
+    those tiny-matrix decompositions are sequential while_loops (pure latency),
+    and in f32 the DLT's A^T A squares the condition number, leaving the eigh
+    null vector with multi-pixel transfer error on sliver quads (measured
+    7.3 px on a 1-px-thick quad; this construction measures ~2e-5 px there —
+    the f32 floor — and ~3e-5 px on generic quads).
+
+    Used by the plane-warp path for its effectively-4-point planes
+    (TEXTURE_PLANES rows 2-4 pad to 6 points by repeating the last corner,
+    reference planes_utils.py:46-68 / warp_learn keypoint schema): least
+    squares over duplicated rows has the same exact-fit solution, so this is
+    numerically the reference's map, just solved stably. Returns (H with
+    H[2,2]=1, valid); valid is False for (near-)degenerate quads — where
+    cv2.findHomography returns None and the reference skips the plane.
+    """
+    src = src.astype(jnp.float32)
+    dst = dst.astype(jnp.float32)
+    src_n, t_src = _normalize_points(src)
+    dst_n, t_dst = _normalize_points(dst)
+    h_n = _unit_square_to_quad(dst_n) @ _adj3(_unit_square_to_quad(src_n))
+    # t_dst is a similarity [[s,0,-s*cx],[0,s,-s*cy],[0,0,1]]: closed-form inverse.
+    s = t_dst[0, 0]
+    inv_t_dst = jnp.stack([
+        jnp.stack([1.0 / s, jnp.zeros((), s.dtype), -t_dst[0, 2] / s]),
+        jnp.stack([jnp.zeros((), s.dtype), 1.0 / s, -t_dst[1, 2] / s]),
+        jnp.stack([jnp.zeros((), s.dtype), jnp.zeros((), s.dtype),
+                   jnp.ones((), s.dtype)]),
+    ])
+    h_mat = inv_t_dst @ (h_n @ t_src)
+
+    scale = h_mat[2, 2]
+    finite = jnp.all(jnp.isfinite(h_mat)) & (jnp.abs(scale) > 1e-12)
+    valid = _quad_nondegenerate(src_n) & _quad_nondegenerate(dst_n) & finite
+    h_out = jnp.where(
+        valid, h_mat / jnp.where(jnp.abs(scale) > 1e-12, scale, 1.0), jnp.eye(3)
+    )
+    return h_out, valid
 
 
 @full_precision

@@ -40,7 +40,10 @@ from future_urban_scene_generation_tpu.ops import colorspace as cs
 from future_urban_scene_generation_tpu.ops import crop as cr
 from future_urban_scene_generation_tpu.render import rasterizer as rz
 from future_urban_scene_generation_tpu.render import visibility as vis
-from future_urban_scene_generation_tpu.geometry.homography import find_homography
+from future_urban_scene_generation_tpu.geometry.homography import (
+    find_homography,
+    find_homography_quad,
+)
 from future_urban_scene_generation_tpu.utils.precision import full_precision
 
 IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
@@ -373,13 +376,25 @@ def warp_planes_to_crop(
 
     r = int(MODEL_SPEC["warp_plane_res"])
 
-    def warp_one(src_idx, dst_idx, extra_skip):
-        """One homography + one packed gather; returns (tex, slot one-hot weight)."""
-        # refine=False: the plane correspondences are projections of the same 3D
-        # points, so the normalized DLT is already (near-)exact; skipping the
-        # Gauss-Newton polish removes 50 jacfwd subgraphs from the scene program
-        # (the remote XLA compile was the bottleneck, not the solve quality).
-        h12, valid = find_homography(src_polys[src_idx], dst_polys[dst_idx], refine=False)
+    def warp_one(src_idx, dst_idx, extra_skip, quad=False):
+        """One homography + one packed gather; returns (tex, slot one-hot weight).
+
+        ``quad=True`` (static) marks the effectively-4-point planes: their
+        TEXTURE_PLANES rows pad to 6 by repeating the last corner, so the
+        closed-form exact-interpolation solve (find_homography_quad) equals
+        the 6-row least squares while skipping the DLT eigensolve — which on
+        sliver quads carried multi-pixel f32 transfer error and on TPU is a
+        latency-bound while_loop. The 6-distinct-point side planes keep the
+        DLT (+ its analytic GN polish; refine=False skips the jacfwd sampson
+        pass whose 50 subgraphs bottlenecked the remote compile)."""
+        if quad:
+            h12, valid = find_homography_quad(
+                src_polys[src_idx][:4], dst_polys[dst_idx][:4]
+            )
+        else:
+            h12, valid = find_homography(
+                src_polys[src_idx], dst_polys[dst_idx], refine=False
+            )
         h_inv = jnp.linalg.inv(h12)
 
         def sample(gx, gy):
@@ -462,14 +477,16 @@ def warp_planes_to_crop(
     fb_front = src_vis[front] & dst_vis[front]
     fb_back = src_vis[back] & dst_vis[back]
     fb_idx = jnp.where(fb_front, front, back)
-    tex, write = warp_one(fb_idx, fb_idx, jnp.logical_not(fb_front | fb_back))
+    tex, write = warp_one(
+        fb_idx, fb_idx, jnp.logical_not(fb_front | fb_back), quad=True
+    )
     out = out * (1.0 - write) + tex[None] * write
 
     for i in range(vis.NUM_TEXTURE_PLANES):
         if i in (left, right, front, back):
             continue
         skip = jnp.logical_not(src_vis[i]) | jnp.logical_not(dst_vis[i])
-        tex, write = warp_one(jnp.asarray(i), jnp.asarray(i), skip)
+        tex, write = warp_one(jnp.asarray(i), jnp.asarray(i), skip, quad=True)
         out = out * (1.0 - write) + tex[None] * write
     return out
 

@@ -92,3 +92,50 @@ def test_warp_affine_resample_matches_crop_resize():
     )
     ref = cv2.resize(img[y0 : y0 + side, x0 : x0 + side], (256, 256), interpolation=cv2.INTER_LINEAR)
     assert np.abs(ours - ref).max() < 1e-4
+
+
+def test_quad_closed_form_matches_dlt():
+    """find_homography_quad equals the 4-point DLT solution on generic quads
+    (both interpolate the same 4 correspondences exactly)."""
+    h_true = np.array([[1.2, 0.1, 15], [-0.05, 0.9, 8], [2e-4, -1e-4, 1.0]])
+    src = rng.uniform(20, 230, (4, 2)).astype(np.float32)
+    dst = _apply_h(h_true, src).astype(np.float32)
+    h_q, valid = hg.find_homography_quad(jnp.asarray(src), jnp.asarray(dst))
+    assert bool(valid)
+    test_pts = rng.uniform(20, 230, (20, 2))
+    err = np.abs(_apply_h(np.asarray(h_q), test_pts) - _apply_h(h_true, test_pts))
+    assert err.max() < 0.5
+
+
+def test_quad_closed_form_sliver_accuracy():
+    """The closed form stays at the f32 floor on sliver quads where the f32
+    DLT eigensolve carries multi-pixel transfer error (the plane-warp
+    front/back planes near edge-on — the motivating case)."""
+    src = np.trunc(
+        np.array([[50, 50], [150, 52], [150, 53], [50, 51]], np.float32)
+    )
+    dst = np.trunc(
+        np.array([[60, 80], [160, 83], [160, 84.2], [60, 81.2]], np.float32)
+    )
+    h_q, valid = hg.find_homography_quad(jnp.asarray(src), jnp.asarray(dst))
+    assert bool(valid)
+    p = np.concatenate([src, np.ones((4, 1))], 1) @ np.asarray(h_q, np.float64).T
+    pred = p[:, :2] / p[:, 2:3]
+    assert np.abs(pred - dst).max() < 1e-2  # 1-px-thick quad, f32-floor transfer
+
+
+def test_quad_closed_form_degenerate():
+    """Degenerate quads (collinear, 3-collinear, repeated corner) flag invalid —
+    the configurations where cv2.findHomography returns None and the reference
+    skips the plane."""
+    good = np.array([[10, 10], [90, 15], [95, 85], [12, 80]], np.float32)
+    for bad in (
+        np.array([[0, 0], [50, 50], [100, 100], [150, 150]], np.float32),
+        np.array([[0, 0], [50, 50], [100, 100], [10, 90]], np.float32),
+        np.array([[10, 10], [90, 15], [90, 15], [12, 80]], np.float32),
+    ):
+        _, v1 = hg.find_homography_quad(jnp.asarray(bad), jnp.asarray(good))
+        _, v2 = hg.find_homography_quad(jnp.asarray(good), jnp.asarray(bad))
+        assert not bool(v1) and not bool(v2)
+    _, v = hg.find_homography_quad(jnp.asarray(good), jnp.asarray(good) * 1.5)
+    assert bool(v)

@@ -39,6 +39,27 @@ def test_pnp_full_precision_guard_on_chip():
     assert np.abs(np.asarray(tvec) - ext[:3, 3]).max() < 0.2
 
 
+def test_quad_homography_sliver_on_chip():
+    """The closed-form 4-point homography (plane-warp front/back/roof solve)
+    keeps f32-floor transfer error on a 1-px sliver quad ON THE CHIP — its
+    3x3 matmul composition runs under @full_precision, and the default bf16
+    MXU pass would silently destroy the perspective terms while CPU tests
+    stay green (the same failure mode as PnP above)."""
+    from future_urban_scene_generation_tpu.geometry.homography import (
+        find_homography_quad,
+    )
+
+    src = jnp.asarray([[50, 50], [150, 52], [150, 53], [50, 51]], jnp.float32)
+    dst = jnp.asarray([[60, 80], [160, 83], [160, 84.2], [60, 81.2]], jnp.float32)
+    h_q, valid = jax.jit(find_homography_quad)(src, dst)
+    assert bool(valid)
+    p = np.concatenate([np.asarray(src), np.ones((4, 1), np.float32)], 1) @ np.asarray(
+        h_q, np.float64
+    ).T
+    pred = p[:, :2] / p[:, 2:3]
+    assert np.abs(pred - np.asarray(dst)).max() < 1e-2
+
+
 def test_packed_warp_gather_on_chip():
     """The packed 12-channel bilinear gather (the serving plane-warp path) vs
     its own 4-gather reference, both compiled for TPU, in bf16 table mode."""
