@@ -29,11 +29,15 @@ import time
 import numpy as np
 
 
-def setup_scene(V: int, quantized: bool = False, warp_res: int = 96):
+def setup_scene(V: int, quantized: bool = False, warp_res: int = 96,
+                hw=(1080, 1920), t_steps: int = 6, cache_dir: str = None):
     """Build the bench's scene inputs + random-init models (shared with
-    tools/scene_profile.py). Returns (models, cad_bank, frame, background,
-    bboxes, meters, K, H, W, T). Applies the production serving config
-    (bf16 generators, 96-res plane warps) and the persistent compile cache."""
+    tools/scene_profile.py and tools/compile_probe.py). Returns (models,
+    cad_bank, frame, background, bboxes, meters, K, H, W, T). Applies the
+    production serving config (bf16 generators, 96-res plane warps) and the
+    persistent compile cache (``cache_dir`` overrides the default repo-local
+    one — tools/compile_probe.py points it at a fresh dir to measure honest
+    cold compiles)."""
     import os
 
     import jax
@@ -41,7 +45,10 @@ def setup_scene(V: int, quantized: bool = False, warp_res: int = 96):
 
     # Persistent compile cache: the full-scene jit compiles in minutes; repeat bench
     # runs (driver rounds) reuse the artifact.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+        )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
@@ -77,8 +84,8 @@ def setup_scene(V: int, quantized: bool = False, warp_res: int = 96):
     from future_urban_scene_generation_tpu.pipeline import runner, stages
     from future_urban_scene_generation_tpu.utils import mesh as mu
 
-    H, W = 1080, 1920
-    T = 6  # trajectory points -> 6 composited frames per branch
+    H, W = hw
+    T = t_steps  # trajectory points -> T composited frames per branch
     K = np.array(
         [[1400.0, 0, W / 2], [0, 1400.0, H / 2], [0, 0, 1]], dtype=np.float32
     )
