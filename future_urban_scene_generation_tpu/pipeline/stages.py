@@ -127,6 +127,14 @@ MODEL_SPEC = {
     # (V=8 trace); a scan body is layout-assigned separately, so every chunk
     # compiles like the clean batch-24 program. 0 disables chunking.
     "gen_chunk": 24,
+    # Homography solver for the effectively-4-point planes (roof/front/back —
+    # TEXTURE_PLANES rows padded to 6 by repeated corners):
+    # True = closed-form unit-square-to-quad construction
+    # (find_homography_quad — f32-floor sliver accuracy, no eigensolve in the
+    # scene program); False = the normalized DLT on all planes (the pre-round-4
+    # path, kept for A/B attribution — tools/compile_probe.py measures its
+    # compile-time cost, and the solutions agree on non-degenerate quads).
+    "quad_homography": True,
     # int8 post-training-quantized generator convs (models/layers._int8_conv):
     # symmetric dynamic per-input-channel activation scales folded into
     # per-output-channel weight scales, feeding the MXU's double-rate
@@ -343,6 +351,13 @@ def warp_planes_to_crop(
     LAB vs converting after warping differs only in the interpolation blend space,
     below quantization). Masked-out pixels get LAB_BLACK_SIGNED, matching the
     reference's post-conversion black. Returns (5, S, S, 3) signed LAB.
+
+    Contract: ``src_polys``/``dst_polys`` follow the TEXTURE_PLANES topology —
+    the roof/front/back rows are 4-point quads padded to 6 by repeated
+    corners. Their homographies use the closed-form 4-point solve on the first
+    4 vertices (MODEL_SPEC["quad_homography"]), which equals the 6-row least
+    squares ONLY under that padding; arbitrary 6-distinct-point polygons in
+    those slots would get a 4-point fit.
     """
     from future_urban_scene_generation_tpu.ops.warp import bilinear_sample_packed
 
@@ -387,6 +402,8 @@ def warp_planes_to_crop(
         latency-bound while_loop. The 6-distinct-point side planes keep the
         DLT (+ its analytic GN polish; refine=False skips the jacfwd sampson
         pass whose 50 subgraphs bottlenecked the remote compile)."""
+        if quad and not MODEL_SPEC["quad_homography"]:
+            quad = False  # A/B attribution knob: force the DLT on all planes
         if quad:
             h12, valid = find_homography_quad(
                 src_polys[src_idx][:4], dst_polys[dst_idx][:4]

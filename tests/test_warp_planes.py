@@ -257,3 +257,38 @@ def test_reduced_res_warp_semantics_and_quality(warp_res):
     mse = float(np.mean((exact - fast) ** 2))
     psnr = 10 * np.log10(4.0 / max(mse, 1e-12))  # signed-LAB range 2
     assert psnr > 30.0, psnr
+
+
+def test_quad_solver_matches_dlt_on_padded_quads():
+    """MODEL_SPEC["quad_homography"] A/B: on TEXTURE_PLANES-topology polys
+    (roof/front/back = 4 corners padded to 6 by repetition — the only form the
+    pipeline ever passes), the closed-form 4-point solve and the 6-row DLT give
+    the same warp. This is the regression pin for the attribution knob that
+    tools/compile_probe.py uses."""
+    frame = _smooth_frame()
+    win = cr.Window(jnp.float32(50), jnp.float32(50), jnp.float32(300), jnp.float32(300))
+    table = pack_bilinear_table(
+        stages._to_signed_lab(cr.crop_resize(frame, win, stages.SRC_TABLE))
+    )
+    local = np.random.RandomState(81)
+    polys = local.rand(5, 6, 2).astype(np.float32) * 250 + 70
+    for row in (2, 3, 4):  # roof/front/back: pad corners like TEXTURE_PLANES
+        polys[row, 4:] = polys[row, 3]
+    src_polys = jnp.asarray(polys)
+    dst_polys = src_polys * 0.9 + jnp.asarray([20.0, 12.0])
+    sv, dv = _vis(True, False), _vis(True, False)
+    quad = np.asarray(
+        stages.warp_planes_to_crop(table, win, src_polys, dst_polys, sv, dv, win)
+    )
+    stages.configure_models(quad_homography=False)
+    try:
+        dlt = np.asarray(
+            stages.warp_planes_to_crop(table, win, src_polys, dst_polys, sv, dv, win)
+        )
+    finally:
+        stages.configure_models(quad_homography=True)
+    # Same solve up to f32 solver noise: tiny mask-boundary flips allowed.
+    disagree = np.abs(quad - dlt).max(-1) > 2e-2
+    assert disagree.mean() < 2e-3, disagree.mean()
+    mse = float(np.mean((quad - dlt) ** 2))
+    assert mse < 1e-4, mse

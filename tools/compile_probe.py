@@ -66,6 +66,11 @@ def _child(args) -> int:
     )
     from future_urban_scene_generation_tpu.pipeline import runner, stages
 
+    if args.variant == "monolith-dlt":
+        # Attribution knob: the pre-round-4 solver (normalized-DLT eigensolve
+        # on every plane) inside the otherwise-identical monolith.
+        stages.configure_models(quad_homography=False)
+
     K = jnp.asarray(K)
     spec = stages.spec_key()
     timings = {}
@@ -80,7 +85,7 @@ def _child(args) -> int:
                          "xla_compile_s": round(t2 - t1, 2)}
         return compiled
 
-    if args.variant == "monolith":
+    if args.variant in ("monolith", "monolith-dlt"):
         c = aot("run_scene", runner._run_scene_impl, models, cad_bank, frame,
                 background, bboxes, meters, K, vis_res=192, spec=spec)
         out = c(models, cad_bank, frame, background, bboxes, meters, K)
@@ -119,6 +124,10 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (mechanics test; timings are "
                     "NOT the remote-TPU compile figures)")
+    ap.add_argument("--repeat-warm", type=int, default=1,
+                    help="number of warm (same-cache) phases per variant — "
+                    ">1 separates remote-compile variance from real cache "
+                    "misses")
     ap.add_argument("--child-variant", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--cache-dir", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args(argv)
@@ -130,7 +139,9 @@ def main(argv=None):
     results = []
     for variant in args.variants:
         cache_dir = tempfile.mkdtemp(prefix=f"fusg_probe_{variant}_")
-        for phase in ("cold", "warm"):
+        phases = ["cold"] + ["warm"] * args.repeat_warm
+        for i, phase in enumerate(phases):
+            phase = phase if i < 2 else f"warm{i}"
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--child-variant", variant, "--cache-dir", cache_dir,
                    "--hw", str(args.hw[0]), str(args.hw[1]),
@@ -152,6 +163,7 @@ def main(argv=None):
             rec = json.loads(line[-1])
             rec["phase"] = phase
             rec["child_wall_s"] = round(wall, 1)
+            rec["cache_dir"] = cache_dir
             results.append(rec)
             print(json.dumps(rec), flush=True)
     print(json.dumps({"summary": [
