@@ -1,7 +1,9 @@
 """Ahead-of-time compile warmer for production shapes.
 
-Full-scene programs compile in ~10-25 minutes through a remote TPU compiler; the
-persistent cache (--cache-dir) makes every later process start instant. Run this
+A cold full-scene compile costs 64-121 s of trace+XLA per bucket, inside a
+process wall of 2.6-17 min set by the remote compile server's queue
+(tools/compile_probe.py, docs/SERVING.md table); the persistent cache
+(--cache-dir) cuts every later process start to a ~15-20 s retrace. Run this
 once per deploy (or per config change) so serving never eats a cold compile:
 
   python -m future_urban_scene_generation_tpu.cli.warmup \
