@@ -73,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "--no-jax-cache disables)")
     p.add_argument("--no-jax-cache", action="store_true",
                    help="disable the persistent compile cache")
+    p.add_argument("--aot-dir", type=Path, default=None,
+                   help="directory of jax.export scene-program artifacts "
+                        "(written by cli.warmup --export-aot DIR); matching "
+                        "requests skip the scene retrace on restart "
+                        "(pipeline/aot.py), misses fall back to the jit path")
     return p
 
 
@@ -113,6 +118,7 @@ def main(argv=None):
     if args.frame_hw is not None:
         cfg.runtime.frame_hw = None if args.frame_hw[0] < 0 else tuple(args.frame_hw)
     cfg.runtime.vis_res = args.vis_res
+    cfg.runtime.aot_dir = args.aot_dir
     if args.vis_scale is not None:
         print("--vis-scale is deprecated and ignored (see --vis-res)",
               file=sys.stderr)

@@ -34,6 +34,13 @@ def build_parser():
                    help="jax persistent compilation cache directory")
     p.add_argument("--perception", action="store_true",
                    help="also warm run_scene (hourglass+VGG perception path)")
+    p.add_argument("--export-aot", metavar="DIR", default=None,
+                   help="additionally write jax.export artifacts of the warmed "
+                        "run_scene programs to DIR and pre-warm their compile "
+                        "cache entries; point the service's runtime.aot_dir "
+                        "(cli.run_test --aot-dir) here so restarts skip the "
+                        "scene retrace entirely (pipeline/aot.py). Implies "
+                        "--perception for the exported shapes.")
     return p
 
 
@@ -112,7 +119,7 @@ def main(argv=None):
         )
 
         t0 = time.time()
-        if args.perception:
+        if args.perception or args.export_aot:
             out = runner.run_scene(
                 models, cad_bank, frame, background, bboxes, meters,
                 jnp.asarray(k_mat), vis_res=args.vis_res,
@@ -132,6 +139,28 @@ def main(argv=None):
         print(f"warmed V={v} ({h}x{w}, steps={t_steps}, "
               f"{args.generator_dtype}, warp={args.warp_plane_res}) "
               f"in {time.time() - t0:.1f}s")
+
+        if args.export_aot:
+            from future_urban_scene_generation_tpu.pipeline import aot
+
+            t0 = time.time()
+            path = aot.export_run_scene(
+                models, cad_bank, frame, background, bboxes, meters,
+                jnp.asarray(k_mat), vis_res=args.vis_res,
+                directory=args.export_aot,
+            )
+            # Pre-warm the deserialized module's compile-cache entry (its HLO
+            # hash differs from the jit path's) so the FIRST restart is warm.
+            # load_program directly: this is the in-process restore, valid on
+            # every backend (lookup_run_scene gates CPU's fresh-process path).
+            run = aot.load_program(
+                path, out_unflatten=lambda outs: runner.SceneResult(*outs)
+            )
+            res = run(models, cad_bank, frame, background, bboxes, meters,
+                      jnp.asarray(k_mat))
+            _ = float(jnp.sum(res.frames_icn[0, ::64, ::64, 0]))
+            print(f"exported V={v} AOT artifact {path.name} "
+                  f"({path.stat().st_size / 1e6:.1f} MB) in {time.time() - t0:.1f}s")
     return 0
 
 

@@ -78,6 +78,12 @@ class RuntimeConfig:
     # Working frame resolution (reference: 1280x720, GUI/app_interface.py:181).
     # None = native resolution of the video/frames.
     frame_hw: Optional[Tuple[int, int]] = (720, 1280)
+    # Directory of jax.export scene-program artifacts (pipeline/aot.py,
+    # written by `cli.warmup --export-aot`). When set, SceneService serves
+    # matching requests through the deserialized program — skipping the
+    # 10-17 s Python retrace a warm restart otherwise pays; misses fall back
+    # to the normal jit path. None = jit path only.
+    aot_dir: Optional[Path] = None
 
 
 @dataclass

@@ -228,7 +228,7 @@ class SceneService:
 
         background = self._backgrounds(frame, frame_id, np.float32(bboxes))
 
-        result = runner.run_scene(
+        scene_args = (
             self.models,
             self.cad_bank,
             jnp.asarray(frame),
@@ -236,8 +236,8 @@ class SceneService:
             jnp.asarray(np.float32(bboxes)),
             jnp.asarray(np.float32(np.stack(meter_tracks))),
             jnp.asarray(self.intrinsic),
-            vis_res=self.cfg.runtime.vis_res,
         )
+        result = self._scene_program(scene_args)(*scene_args)
         frames_icn = np.asarray(result.frames_icn)
         frames_vunet = np.asarray(result.frames_vunet)
         elapsed = time.time() - start
@@ -247,6 +247,25 @@ class SceneService:
         )
 
         return self._write_outputs(frame_id, frames_icn, frames_vunet)
+
+    def _scene_program(self, scene_args):
+        """The program that serves this request: the AOT artifact matching the
+        argument shapes + MODEL_SPEC when `runtime.aot_dir` is configured (a
+        restart then skips the 10-17 s scene retrace — pipeline/aot.py), else
+        the normal jit path. A lookup miss (unwarmed bucket, changed spec)
+        falls back silently: same results, jit-path cost."""
+        from future_urban_scene_generation_tpu.pipeline import runner
+
+        vis_res = self.cfg.runtime.vis_res
+        if self.cfg.runtime.aot_dir:
+            from future_urban_scene_generation_tpu.pipeline import aot
+
+            run = aot.lookup_run_scene(
+                *scene_args, vis_res=vis_res, directory=self.cfg.runtime.aot_dir
+            )
+            if run is not None:
+                return run
+        return lambda *a: runner.run_scene(*a, vis_res=vis_res)
 
     def _backgrounds(self, frame: np.ndarray, frame_id: int, bboxes: np.ndarray):
         """The backgrounds vehicles composite onto.

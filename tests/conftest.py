@@ -43,7 +43,7 @@ _SLOW_MODELS = {
 _SLOW_PIPELINE = {
     # full scene-program compiles + sharding equivalence
     "test_pipeline", "test_frame_crossval", "test_sharded_inference",
-    "test_parallel_training", "test_model_spec", "test_datagen",
+    "test_parallel_training", "test_model_spec", "test_datagen", "test_aot",
 }
 _SLOW_SERVE = {
     # CLI/service end-to-end + streaming/tracking + train->export->serve chain
