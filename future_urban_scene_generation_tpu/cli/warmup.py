@@ -156,11 +156,15 @@ def main(argv=None):
             run = aot.load_program(
                 path, out_unflatten=lambda outs: runner.SceneResult(*outs)
             )
-            res = run(models, cad_bank, frame, background, bboxes, meters,
-                      jnp.asarray(k_mat))
-            _ = float(jnp.sum(res.frames_icn[0, ::64, ::64, 0]))
-            print(f"exported V={v} AOT artifact {path.name} "
-                  f"({path.stat().st_size / 1e6:.1f} MB) in {time.time() - t0:.1f}s")
+            if run is None:  # just-written artifact failed to restore
+                print(f"WARNING: exported artifact {path.name} did not "
+                      "restore; restarts will use the jit path")
+            else:
+                res = run(models, cad_bank, frame, background, bboxes, meters,
+                          jnp.asarray(k_mat))
+                _ = float(jnp.sum(res.frames_icn[0, ::64, ::64, 0]))
+                print(f"exported V={v} AOT artifact {path.name} "
+                      f"({path.stat().st_size / 1e6:.1f} MB) in {time.time() - t0:.1f}s")
     return 0
 
 

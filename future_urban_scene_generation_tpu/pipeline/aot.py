@@ -106,9 +106,16 @@ def export_program(
             jexport.DisabledSafetyCheck.custom_call(t) for t in _LOCAL_CUSTOM_CALLS
         ],
     )(*specs)
-    tmp = path.with_suffix(".tmp")
-    tmp.write_bytes(exported.serialize())
-    os.replace(tmp, path)  # atomic: concurrent warmers race benignly
+    # Unique tmp per writer: os.replace makes the RENAME atomic, but two
+    # exporters sharing one tmp name could interleave write_bytes and publish
+    # corrupt bytes. Distinct tmp names make the whole write-then-rename race
+    # benign (last writer wins with a complete artifact).
+    tmp = path.with_suffix(f".{os.getpid()}.tmp")
+    try:
+        tmp.write_bytes(exported.serialize())
+        os.replace(tmp, path)
+    finally:
+        tmp.unlink(missing_ok=True)
     return path
 
 
@@ -122,8 +129,12 @@ _LOADED: dict = {}
 def load_program(
     path: os.PathLike,
     out_unflatten: Callable[[Sequence], object] = tuple,
-) -> Callable:
-    """Deserialize an exported program; returns ``run(*args) -> out``.
+) -> Optional[Callable]:
+    """Deserialize an exported program; returns ``run(*args) -> out``, or
+    ``None`` if the artifact cannot be read/deserialized (truncated write,
+    disk corruption, foreign bytes). The miss-falls-back-silently contract
+    covers BAD artifacts, not just absent ones: serving must degrade to the
+    jit path, never crash in the request path on cache state.
 
     ``out_unflatten`` rebuilds the output pytree from the flat leaf tuple
     (e.g. ``lambda outs: SceneResult(*outs)``). The returned callable flattens
@@ -137,9 +148,17 @@ def load_program(
     cache_key = (str(path), path.stat().st_mtime_ns)
     call = _LOADED.get(cache_key)
     if call is None:
-        call = _LOADED[cache_key] = jax.jit(
-            jexport.deserialize(path.read_bytes()).call
-        )
+        try:
+            call = jax.jit(jexport.deserialize(path.read_bytes()).call)
+        except Exception as e:  # corrupt/unreadable artifact -> jit fallback
+            import warnings
+
+            warnings.warn(
+                f"AOT artifact {path.name} failed to deserialize "
+                f"({type(e).__name__}: {e}); falling back to the jit path"
+            )
+            return None
+        _LOADED[cache_key] = call
 
     def run(*args):
         return out_unflatten(call(*_flat_leaves(tuple(args))))

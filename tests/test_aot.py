@@ -79,6 +79,27 @@ def test_output_pytree_reconstruction(tmp_path, toy_args):
                                rtol=1e-6)
 
 
+def test_corrupt_artifact_degrades_to_none(tmp_path, toy_args):
+    """A truncated/garbage artifact must report a MISS (None + warning), not
+    raise in the request path — the fall-back contract covers bad cache
+    state, not just absent files."""
+    d, x = toy_args
+    path = aot.export_program(_toy, (d, x), kind="toy", static=(),
+                              directory=tmp_path)
+    good = path.read_bytes()
+    try:
+        path.write_bytes(good[: len(good) // 2])  # truncated write
+        with pytest.warns(UserWarning, match="falling back to the jit path"):
+            assert aot.load_program(path) is None
+        path.write_bytes(b"not an export artifact")
+        with pytest.warns(UserWarning, match="failed to deserialize"):
+            assert aot.load_program(path) is None
+    finally:
+        path.write_bytes(good)
+    run = aot.load_program(path)  # restored bytes load again (mtime-keyed)
+    assert run is not None and len(run(d, x)) == 2
+
+
 def test_service_scene_program_dispatch(tmp_path):
     """SceneService._scene_program: AOT hit -> deserialized program; miss or
     aot_dir unset -> the jit path (runner.run_scene closure)."""

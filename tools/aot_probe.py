@@ -42,6 +42,10 @@ def _child(args) -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        # lookup_run_scene gates fresh-process CPU restores off by default
+        # (XLA:CPU segfault, aot.py); the probe's whole point is to exercise
+        # the restore path, so opt in explicitly (same as tests/test_aot.py).
+        os.environ["FUSG_AOT_CPU"] = "1"
     import jax.numpy as jnp  # noqa: F401
 
     sys.path.insert(0, REPO)
@@ -76,6 +80,10 @@ def _child(args) -> int:
         t0 = time.perf_counter()
         run = aot.lookup_run_scene(models, cad_bank, frame, background, bboxes,
                                    meters, K, vis_res=vis_res, directory=AOT_DIR)
+        if run is None:
+            print(json.dumps({**out, "error": "exported artifact not found "
+                              "by lookup (key mismatch?)"}))
+            return 1
         jax.block_until_ready(run(models, cad_bank, frame, background, bboxes,
                                   meters, K))
         out["prewarm_s"] = round(time.perf_counter() - t0, 2)
