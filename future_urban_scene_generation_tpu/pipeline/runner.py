@@ -398,6 +398,50 @@ def synthesize_scene_sharded(
         stages.MODEL_SPEC["pallas_kernels"], stages.MODEL_SPEC["gen_chunk"] = prev
 
 
+def run_scene_sharded(
+    models, cad_bank, frame, background, bboxes, meter_coords, intrinsic,
+    mesh, vis_res: int = 192,
+) -> SceneResult:
+    """:func:`run_scene` (perception INSIDE the program) with the vehicle axis
+    sharded over ``mesh``'s 'data' axis — the serving-path counterpart of
+    :func:`synthesize_scene_sharded` for callers that submit raw (frame,
+    bboxes, meters) requests, e.g. the streaming runners. Crops, hourglass/
+    CAD-classifier forwards, PnP, rendering, warps and generator forwards all
+    partition per vehicle; frame/background/weights replicate. V must divide
+    the data-axis size.
+
+    Streams x chips: give each camera stream its own (sub)mesh and the streams
+    land on disjoint devices — the embarrassingly-parallel stream axis of
+    BASELINE config 4 (each stream is an independent request pipeline; no
+    collective crosses streams).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    bboxes = jax.device_put(bboxes, data_sh)
+    meter_coords = jax.device_put(meter_coords, data_sh)
+    frame = jax.device_put(frame, repl)
+    background = jax.device_put(background, repl)
+    intrinsic = jax.device_put(intrinsic, repl)
+    models = jax.tree.map(lambda p: jax.device_put(p, repl), models)
+    cad_bank = jax.tree.map(lambda p: jax.device_put(p, repl), cad_bank)
+    # Same spec overrides as synthesize_scene_sharded (see its comment): the
+    # Pallas custom calls carry no SPMD rule, and gen_chunk is a single-chip
+    # layout fix that would serialize the already-partitioned sub-batches.
+    prev = (stages.MODEL_SPEC["pallas_kernels"], stages.MODEL_SPEC["gen_chunk"])
+    stages.MODEL_SPEC["pallas_kernels"] = False
+    stages.MODEL_SPEC["gen_chunk"] = 0
+    try:
+        return run_scene(
+            models, cad_bank, frame, background, bboxes, meter_coords,
+            intrinsic, vis_res=vis_res,
+        )
+    finally:
+        stages.MODEL_SPEC["pallas_kernels"], stages.MODEL_SPEC["gen_chunk"] = prev
+
+
 def build_cad_bank(meshes, keypoints, scale: float = 5.0) -> CadBank:
     """Pad a list of (TriangleMesh, (12,3) kp) into a CadBank (run_test.py:146-153's
     x5 vertex scaling applied here). Triangles are Morton-sorted so the Pallas

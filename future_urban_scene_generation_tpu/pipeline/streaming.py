@@ -40,6 +40,7 @@ class StreamRunner:
         n_steps: int = 6,
         vis_res: int = 192,
         depth: int = 2,
+        mesh=None,
     ):
         self.models = models
         self.cad_bank = cad_bank
@@ -48,6 +49,7 @@ class StreamRunner:
         self.n_vehicles = n_vehicles
         self.n_steps = n_steps
         self.vis_res = vis_res
+        self.mesh = mesh  # None = single device; else vehicle axis shards over it
         self._inflight: Deque = collections.deque()
         self.depth = depth
         self.latencies: list = []
@@ -77,6 +79,19 @@ class StreamRunner:
             return _u8_to_f32(dev)
         return jax.device_put(jnp.asarray(img, jnp.float32))
 
+    def _run_scene(self, frame_d, bg_d, b, m):
+        if self.mesh is not None:
+            return _runner.run_scene_sharded(
+                self.models, self.cad_bank, frame_d, bg_d,
+                jnp.asarray(b), jnp.asarray(m), self.intrinsic,
+                mesh=self.mesh, vis_res=self.vis_res,
+            )
+        return _runner.run_scene(
+            self.models, self.cad_bank, frame_d, bg_d,
+            jnp.asarray(b), jnp.asarray(m), self.intrinsic,
+            vis_res=self.vis_res,
+        )
+
     def submit(self, frame: np.ndarray, bboxes, meters, background: Optional[np.ndarray] = None):
         """Enqueue one scene; returns the OLDEST completed result once the pipeline
         depth is reached (None while filling). ``frame``/``background`` may be
@@ -85,11 +100,7 @@ class StreamRunner:
         frame_d = self._upload(frame)
         bg_d = self._upload(background) if background is not None else frame_d
         b, m = self._pad(bboxes, meters)
-        result = _runner.run_scene(
-            self.models, self.cad_bank, frame_d, bg_d,
-            jnp.asarray(b), jnp.asarray(m), self.intrinsic,
-            vis_res=self.vis_res,
-        )
+        result = self._run_scene(frame_d, bg_d, b, m)
         self._inflight.append((t0, result))
         if len(self._inflight) < self.depth:
             return None
@@ -229,11 +240,7 @@ class TrackingStreamRunner(StreamRunner):
         bg_d = self._upload(background) if background is not None else frame_d
         b, m = self._pad(np.stack(sel_boxes), np.stack(sel_meters))
         t0 = time.perf_counter()
-        result = _runner.run_scene(
-            self.models, self.cad_bank, frame_d, bg_d,
-            jnp.asarray(b), jnp.asarray(m), self.intrinsic,
-            vis_res=self.vis_res,
-        )
+        result = self._run_scene(frame_d, bg_d, b, m)
         self._inflight.append((t0, result))
         if len(self._inflight) < self.depth:
             return None, confirmed
@@ -257,30 +264,117 @@ class MultiStreamRunner:
 
     make_detector: stream_idx -> detector (each stream needs its own — e.g. a
     BackgroundDiffDetector holds that camera's background model).
+
+    ``threaded=True`` moves each stream's HOST bookkeeping (tracker update,
+    detector finalize readback, box/trajectory prep) onto its own worker
+    thread. Measured motivation (docs/SERVING.md multi-stream table): with one
+    host thread, aggregate throughput DROPS with stream count — the chip
+    serves back-to-back but every stream's finalize readbacks and numpy
+    bookkeeping interleave serially on the submit path. The blocking calls
+    (`jax.block_until_ready`, device transfers) release the GIL, so worker
+    threads overlap stream A's readback wait with stream B's bookkeeping and
+    the submit path becomes a queue put. Per-stream state stays single-owner
+    (each worker owns exactly its stream — no locks); the device serializes
+    programs on its FIFO queue exactly as before. In threaded mode
+    ``submit_frame`` is fire-and-forget (returns (None, [])) and completed
+    results accumulate in ``results[stream_idx]``; ``flush()`` barriers the
+    queues and returns the per-stream lists (queued + drained).
+
+    ``meshes`` (optional, one per stream): run each stream's scene program
+    with its vehicle axis sharded over that stream's mesh
+    (runner.run_scene_sharded). Disjoint per-stream submeshes place streams
+    on disjoint devices — the embarrassingly-parallel stream-sharding axis of
+    BASELINE config 4 (certified by __graft_entry__.dryrun_multichip's
+    multi-stream case).
     """
 
     def __init__(self, models, cad_bank, intrinsic, frame_hw, n_vehicles,
                  n_streams: int, make_detector, inv_homographies=None,
+                 threaded: bool = False, meshes=None,
                  **kwargs):
         if inv_homographies is None:
             inv_homographies = [None] * n_streams
+        if meshes is None:
+            meshes = [None] * n_streams
         self.streams = [
             TrackingStreamRunner(
                 models, cad_bank, intrinsic, frame_hw, n_vehicles,
                 detector=make_detector(i), inv_homography=inv_homographies[i],
-                **kwargs,
+                mesh=meshes[i], **kwargs,
             )
             for i in range(n_streams)
         ]
+        self.threaded = bool(threaded)
+        self.results = [[] for _ in range(n_streams)]
+        if self.threaded:
+            import queue
+            import threading
+
+            self._queues = [queue.Queue(maxsize=8) for _ in range(n_streams)]
+            self._errors: list = [None] * n_streams
+            self._workers = []
+            for i in range(n_streams):
+                w = threading.Thread(
+                    target=self._worker, args=(i,), daemon=True,
+                    name=f"fusg-stream-{i}",
+                )
+                w.start()
+                self._workers.append(w)
+
+    def _worker(self, i: int):
+        q = self._queues[i]
+        while True:
+            item = q.get()
+            if item is None:
+                q.task_done()
+                return
+            try:
+                if self._errors[i] is None:  # fail-fast: skip after first error
+                    out, _tracks = self.streams[i].submit_frame(*item)
+                    if out is not None:
+                        self.results[i].append(out)
+            except Exception as e:  # surfaced on the next submit/flush
+                self._errors[i] = e
+            finally:
+                q.task_done()
 
     def submit_frame(self, stream_idx: int, frame, background=None):
         """One streaming step for camera ``stream_idx``; same contract as
-        TrackingStreamRunner.submit_frame."""
-        return self.streams[stream_idx].submit_frame(frame, background)
+        TrackingStreamRunner.submit_frame. Threaded mode: enqueue-and-return
+        (results land in ``results[stream_idx]``; see class docstring)."""
+        if not self.threaded:
+            return self.streams[stream_idx].submit_frame(frame, background)
+        if self._errors[stream_idx] is not None:
+            raise self._errors[stream_idx]
+        self._queues[stream_idx].put((frame, background))
+        return None, []
 
     def flush(self):
-        """Drain every stream; returns a list of per-stream result lists."""
-        return [s.flush() for s in self.streams]
+        """Drain every stream; returns a list of per-stream result lists
+        (threaded mode: results accumulated by the workers + the final
+        pipeline drain; the workers stay alive for further submissions)."""
+        if not self.threaded:
+            return [s.flush() for s in self.streams]
+        for q in self._queues:
+            q.join()  # barrier: all enqueued frames fully submitted
+        for err in self._errors:
+            if err is not None:
+                raise err
+        out = []
+        for i, s in enumerate(self.streams):
+            drained, self.results[i] = self.results[i], []
+            out.append(drained + s.flush())
+        return out
+
+    def close(self):
+        """Stop the worker threads (threaded mode; idempotent)."""
+        if not self.threaded:
+            return
+        for q in self._queues:
+            q.put(None)
+        for w in self._workers:
+            w.join(timeout=30)
+        self.threaded = False
 
     @property
     def aggregate_fps(self) -> float:

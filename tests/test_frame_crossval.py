@@ -230,7 +230,18 @@ def _our_rasterizer_get_rendered(tris, get_normals):
     return fake
 
 
-def test_traj_test_composite_crossval(ref_traj, tmp_path, monkeypatch):
+@pytest.mark.parametrize("weights", ["random", "trained"])
+def test_traj_test_composite_crossval(ref_traj, tmp_path, monkeypatch, weights):
+    """``weights="random"``: the historical worst-case crossval — shared
+    RANDOM-init generators chaotically amplify sub-pixel resample deltas
+    (floors 0.96/0.98, attribution in PARITY.md). ``weights="trained"``: the
+    SAME scene with generators trained in this framework (cli/train.py),
+    exported to the reference's .pth layout (tools/export_zoo.py) and loaded
+    into BOTH sides — the measurement the 0.99 north-star hypothesis rests on
+    (VERDICT r4 #1). Set FUSG_TRAINED_ZOO to the exported checkpoint tree;
+    skipped otherwise. Measured band (see PARITY.md "Fidelity attribution"):
+    trained weights lift the per-frame floor because smooth generators are
+    Lipschitz-tame on the ~1e-2 input deltas random ones amplify."""
     from future_urban_scene_generation_tpu.geometry.projection import (
         project_points_extrinsic,
     )
@@ -313,7 +324,13 @@ def test_traj_test_composite_crossval(ref_traj, tmp_path, monkeypatch):
     # mapped back to frame coordinates — BOTH sides consume exactly these.
     kp_decoded = cells / 64.0 * bbox_w + np.asarray(xy_min) - np.asarray(xy_pad)
 
-    # ---------------- shared random-weight generators ----------------
+    # ---------------- shared generators (random or trained) ----------------
+    zoo = os.environ.get("FUSG_TRAINED_ZOO")
+    if weights == "trained" and not zoo:
+        pytest.skip(
+            "FUSG_TRAINED_ZOO unset — train + export first "
+            "(cli/train.py --model icn/vunet; tools/export_zoo.py)"
+        )
     wm = ref_traj["warp_learn.models"]
     torch.manual_seed(0)
     t_icn = wm.G_Resnet(input_nc=21, output_nc=3, num_downs=2, n_res=3, ngf=64,
@@ -323,6 +340,19 @@ def test_traj_test_composite_crossval(ref_traj, tmp_path, monkeypatch):
     t_vunet = ref_traj["vunet.models"].Vunet_fix_res(
         ap.Namespace(up_mode="subpixel", w_norm=True, drop_prob=0.0, vunet_256=True)
     ).eval()
+    if weights == "trained":
+        # The exported tree IS the reference's checkpoint layout
+        # (run_test.py:76-87): load it into the reference nets the way
+        # run_test.py does, and into our side through the converter — both
+        # sides then carry the SAME trained weights.
+        t_icn.load_state_dict(torch.load(
+            Path(zoo) / "icn" / "256_synth" / "gnet_00020.pth",
+            map_location="cpu", weights_only=False,
+        ))
+        t_vunet.load_state_dict(torch.load(
+            Path(zoo) / "vunet" / "256" / "vunet.pth",
+            map_location="cpu", weights_only=False,
+        ))
     icn_params = convert_state_dict(t_icn.state_dict())
     vp = tmp_path / "vunet.pth"
     torch.save(t_vunet.state_dict(), vp)
@@ -446,7 +476,7 @@ def test_traj_test_composite_crossval(ref_traj, tmp_path, monkeypatch):
     if dump:
         os.makedirs(dump, exist_ok=True)
         np.savez_compressed(
-            os.path.join(dump, "crossval_frames.npz"),
+            os.path.join(dump, f"crossval_frames_{weights}.npz"),
             ref_icn=ref_icn, ref_vun=ref_vun, ours_icn=ours_icn,
             ours_vun=ours_vun, veh_mask=np.asarray(veh_region),
             bg=bg_u8, icn_ssims=np.asarray(icn_ssims),
@@ -456,14 +486,20 @@ def test_traj_test_composite_crossval(ref_traj, tmp_path, monkeypatch):
     # Full-frame SSIM: backgrounds are identical, the vehicle occupies a small
     # window whose content agrees up to the documented resample-chain deltas
     # (PARITY.md §1-3: crop-window rendering, single-resample warps).
-    # Measured on this scene: icn 0.964-0.997, vunet 0.983-0.998 per frame.
-    # The deficit is attributed in PARITY.md "Fidelity attribution": composite
+    # random: measured icn 0.964-0.997, vunet 0.983-0.998 per frame — the
+    # deficit is attributed in PARITY.md "Fidelity attribution": composite
     # background exact to 3e-6; all deficit inside the <3% vehicle footprint,
     # where RANDOM-weight generators amplify ~1e-2 input deltas into texture
-    # decorrelation (worst case vs trained checkpoints). Floor = the
-    # attributed bound on this pinned deterministic scene.
-    assert min(icn_ssims) > 0.96, icn_ssims
-    assert min(vun_ssims) > 0.98, vun_ssims
+    # decorrelation (worst case vs trained checkpoints).
+    # trained: the same scene with framework-trained weights in both sides
+    # (the north-star measurement; band recorded in PARITY.md). Floors =
+    # measured minima minus tolerance (VERDICT r4 #8).
+    icn_floor, vun_floor = {
+        "random": (0.96, 0.98),
+        "trained": (0.99, 0.99),
+    }[weights]
+    assert min(icn_ssims) > icn_floor, icn_ssims
+    assert min(vun_ssims) > vun_floor, vun_ssims
 
     # And the integration actually synthesized a vehicle on our side too.
     assert np.abs(ours_icn[0] - np.asarray(bg_rgb)[..., ::-1])[veh_region].max() > 0.05

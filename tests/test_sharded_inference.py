@@ -225,3 +225,62 @@ def _scene_equivalence(V, T, data):
 
     _assert_visually_equal(ref.frames_icn, sharded.frames_icn, "frames_icn")
     _assert_visually_equal(ref.frames_vunet, sharded.frames_vunet, "frames_vunet")
+
+
+def test_run_scene_sharded_matches_unsharded():
+    """runner.run_scene_sharded (perception INSIDE the program — the raw-request
+    serving/streaming entry) equals run_scene with the vehicle axis sharded
+    over 4 devices. This is the program each stream submits under the
+    stream-sharding layout (streaming.MultiStreamRunner meshes=...)."""
+    from future_urban_scene_generation_tpu.geometry.rotations import x_rot, z_rot
+    from future_urban_scene_generation_tpu.pipeline import runner
+
+    V, T, data = 4, 2, 4
+    h, w = 192, 256
+    k_small = np.array([[240.0, 0, w / 2], [0, 240.0, h / 2], [0, 0, 1]], np.float32)
+    mesh_obj, kp3d = mu.make_test_car(subdiv=1)
+    cad_bank = runner.build_cad_bank([mesh_obj], [kp3d], scale=5.0)
+    frame = jnp.asarray(rng.rand(h, w, 3).astype(np.float32))
+    background = jnp.asarray(rng.rand(h, w, 3).astype(np.float32))
+    bboxes = []
+    for v in range(V):
+        ext = np.eye(4, dtype=np.float32)
+        ext[:3, :3] = np.asarray(x_rot(jnp.float32(-1.2)) @ z_rot(jnp.float32(0.4 + 0.2 * v)))
+        ext[:3, 3] = [(-3 + 2 * v), 1.5, 20.0 + 2 * v]
+        kp2d = np.asarray(
+            proj.project_points_extrinsic(
+                cad_bank.keypoints3d[0], jnp.asarray(k_small), jnp.asarray(ext)
+            )
+        )
+        x0, y0 = kp2d.min(0)
+        x1, y1 = kp2d.max(0)
+        bboxes.append([x0 - 3, y0 - 3, x1 + 3, y1 + 3])
+    bboxes = jnp.asarray(np.float32(bboxes))
+    t = np.linspace(0, 1.2, T)
+    meters = jnp.asarray(
+        np.float32(np.stack([np.stack([t, np.zeros_like(t)], -1)] * V))
+    )
+    key = jax.random.PRNGKey(0)
+    cadm, hgm, icnm, vunm = stages.Models.modules()
+    dummy = jnp.zeros((1, 256, 256, 3))
+    models = stages.Models(
+        cad_params=cadm.init(key, dummy),
+        hourglass_params=hgm.init(key, dummy),
+        icn_params=icnm.init(key, jnp.zeros((1, 256, 256, 21))),
+        vunet_params=vunm.init(
+            {"params": key}, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1, 256, 256, 6)),
+            cov=0.0,
+        ),
+    )
+    args = (models, cad_bank, frame, background, bboxes, meters, jnp.asarray(k_small))
+    ref = runner.run_scene(*args)
+    device_mesh = pmesh.make_mesh(data=data, model=1, devices=jax.devices()[:data])
+    sharded = runner.run_scene_sharded(*args, mesh=device_mesh)
+    # Perception is deterministic per vehicle (crops from replicated frame,
+    # batched classifier/hourglass forwards): exact under the partition.
+    np.testing.assert_array_equal(np.asarray(ref.cad_idx), np.asarray(sharded.cad_idx))
+    np.testing.assert_allclose(
+        np.asarray(ref.pnp_error), np.asarray(sharded.pnp_error), atol=1e-5
+    )
+    _assert_visually_equal(ref.frames_icn, sharded.frames_icn, "frames_icn")
+    _assert_visually_equal(ref.frames_vunet, sharded.frames_vunet, "frames_vunet")

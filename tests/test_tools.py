@@ -126,10 +126,12 @@ def test_scene_profile_parse_trace(tmp_path):
         # Two ops in fusg.icn, one in fusg.render, one unattributed.
         {"ph": "X", "pid": 1, "tid": 7, "name": "fusion.1", "dur": 1500.0,
          "args": {"long_name": "jit(run)/fusg.icn/conv_general_dilated",
-                  "hlo_category": "convolution fusion"}},
+                  "hlo_category": "convolution fusion",
+                  "model_flops": "3000000000", "bytes_accessed": 1.5e8}},
         {"ph": "X", "pid": 1, "tid": 7, "name": "fusion.2", "dur": 500.0,
          "args": {"long_name": "jit(run)/fusg.icn/add",
-                  "hlo_category": "loop fusion"}},
+                  "hlo_category": "loop fusion",
+                  "model_flops": 1e9, "bytes_accessed": 5e7}},
         {"ph": "X", "pid": 1, "tid": 7, "name": "custom-call.3", "dur": 250.0,
          "args": {"long_name": "jit(run)/fusg.render/pallas_call",
                   "hlo_category": "custom call"}},
@@ -144,12 +146,17 @@ def test_scene_profile_parse_trace(tmp_path):
     with gzip.open(tdir / "vm.trace.json.gz", "wt") as fh:
         json.dump({"traceEvents": events}, fh)
 
-    scopes, ops = scene_profile.parse_trace(str(tmp_path / "trace"))
+    scopes, ops, cost = scene_profile.parse_trace(str(tmp_path / "trace"))
     assert scopes["fusg.icn"] == 2000.0
     assert scopes["fusg.render"] == 250.0
     assert scopes["unattributed"] == 100.0
     assert scopes["TOTAL"] == 2350.0
     assert ops["fusion.1"][0] == 1500.0 and ops["fusion.1"][2] == "fusg.icn"
+    # Roofline inputs aggregate per scope (string or numeric annotations);
+    # ops without cost annotations contribute zero, not a crash.
+    assert cost["fusg.icn"] == [4e9, 2e8]
+    assert cost["fusg.render"] == [0.0, 0.0]
+    assert cost["TOTAL"] == [4e9, 2e8]
 
 
 def test_bench_transient_backend_error_classifier():

@@ -190,11 +190,14 @@ def test_tracking_stream_runner_end_to_end():
 
 
 @pytest.mark.slow
-def test_multi_stream_runner_two_cameras():
+@pytest.mark.parametrize("threaded", [False, True])
+def test_multi_stream_runner_two_cameras(threaded):
     """MultiStreamRunner (BASELINE config 4): two camera streams with separate
     backgrounds/trackers multiplex onto one shared warm program set; each
     stream's tracks and synthesized scenes stay isolated, and the final
-    detections fold in at flush."""
+    detections fold in at flush. threaded=True runs each stream's host
+    bookkeeping on its own worker (fire-and-forget submit, results via
+    flush) and must produce the same per-stream scene counts."""
     from future_urban_scene_generation_tpu.pipeline import runner, stages, streaming
     from future_urban_scene_generation_tpu.utils import mesh as mu
 
@@ -227,7 +230,7 @@ def test_multi_stream_runner_two_cameras():
     multi = streaming.MultiStreamRunner(
         models, cad_bank, K, (H, W), n_vehicles=1, n_streams=2,
         make_detector=make_detector, n_steps=3, depth=1, min_track_frames=2,
-        overlap_detect=False,
+        overlap_detect=False, threaded=threaded,
     )
 
     results = [[], []]
@@ -243,11 +246,15 @@ def test_multi_stream_runner_two_cameras():
                 y0 = 60 + 10 * t
                 frame[y0:y0 + 50, 120:190] = 0.9
             out, tracks = multi.submit_frame(i, frame)
-            tracked[i] = max(tracked[i], len(tracks))
+            if not threaded:
+                tracked[i] = max(tracked[i], len(tracks))
             if out is not None:
                 results[i].append(out)
     for i, extra in enumerate(multi.flush()):
         results[i].extend(extra)
+    if threaded:
+        tracked = [len(s.tracker.confirmed()) for s in multi.streams]
+        multi.close()
 
     assert tracked == [1, 1]  # per-camera trackers stay isolated
     for i in range(2):

@@ -27,8 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def parse_trace(trace_dir):
     """Aggregate XLA-op events: per-fusg-scope totals + top ops. Returns
-    (scope_totals_us, op_totals) where op_totals maps name -> [dur_us,
-    category, scope]."""
+    (scope_totals_us, op_totals, scope_cost) where op_totals maps name ->
+    [dur_us, category, scope] and scope_cost maps scope -> [model_flops,
+    bytes_accessed] summed from the per-op cost annotations the TPU trace
+    carries (the roofline inputs: achieved FLOP/s and HBM GB/s per stage)."""
     paths = glob.glob(
         os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")
     ) or glob.glob(os.path.join(trace_dir, "**/*.trace.json.gz"), recursive=True)
@@ -53,6 +55,7 @@ def parse_trace(trace_dir):
 
     scope_totals = {}
     op_totals = {}
+    scope_cost = {}
     total = 0.0
     for ev in events:
         if ev.get("ph") != "X":
@@ -75,13 +78,26 @@ def parse_trace(trace_dir):
             frag = long_name.split("fusg.")[-1]
             scope = "fusg." + frag.split("/")[0].split(" ")[0].split(":")[0]
         scope_totals[scope] = scope_totals.get(scope, 0.0) + dur
+        cost = scope_cost.setdefault(scope, [0.0, 0.0])
+        try:
+            cost[0] += float(args.get("model_flops", 0) or 0)
+        except (TypeError, ValueError):
+            pass
+        try:
+            cost[1] += float(args.get("bytes_accessed", 0) or 0)
+        except (TypeError, ValueError):
+            pass
         name = ev.get("name", "?")
         rec = op_totals.setdefault(
             name, [0.0, str(args.get("hlo_category", "")), scope]
         )
         rec[0] += dur
     scope_totals["TOTAL"] = total
-    return scope_totals, op_totals
+    scope_cost["TOTAL"] = [
+        sum(c[0] for s, c in scope_cost.items()),
+        sum(c[1] for s, c in scope_cost.items()),
+    ]
+    return scope_totals, op_totals, scope_cost
 
 
 def main(argv=None):
@@ -131,11 +147,43 @@ def main(argv=None):
     jax.profiler.stop_trace()
     _ = float(jnp.sum(result.frames_icn[0, ::64, ::64, 0]))
 
-    scopes, ops = parse_trace(trace_dir)
+    scopes, ops, cost = parse_trace(trace_dir)
     ms = {k: round(v / 1000.0, 2) for k, v in sorted(
         scopes.items(), key=lambda kv: -kv[1]
     )}
+    # Roofline per stage (VERDICT r4 #4): achieved TFLOP/s vs the v5e bf16
+    # MXU peak (197 TFLOP/s) and achieved GB/s vs the HBM peak (819 GB/s),
+    # from the trace's own per-op model_flops / bytes_accessed. A stage near
+    # its FLOP ceiling is MXU-bound; one near the BW ceiling is HBM-bound;
+    # near neither = latency/issue-bound (the PnP while_loop, small gathers).
+    PEAK_TFLOPS, PEAK_GBPS = 197.0, 819.0
+    roofline = {}
+    for k, dur_us in scopes.items():
+        if dur_us <= 0:
+            continue
+        fl, by = cost.get(k, [0.0, 0.0])
+        sec = dur_us / 1e6
+        roofline[k] = {
+            "ms": round(dur_us / 1000.0, 2),
+            "gflops": round(fl / 1e9, 2),
+            "tflops_per_s": round(fl / sec / 1e12, 2),
+            "pct_mxu_peak": round(100.0 * fl / sec / 1e12 / PEAK_TFLOPS, 1),
+            "gb": round(by / 1e9, 3),
+            "gbps": round(by / sec / 1e9, 1),
+            "pct_hbm_peak": round(100.0 * by / sec / 1e9 / PEAK_GBPS, 1),
+        }
     print(json.dumps({"per_scope_device_ms": ms, "trace_dir": trace_dir}))
+    print(json.dumps({"roofline_per_scope": {
+        k: roofline[k] for k, _ in sorted(scopes.items(), key=lambda kv: -kv[1])
+        if k in roofline
+    }}))
+    print("\nper-stage roofline (ms | TFLOP/s %MXU | GB/s %HBM):")
+    for k, _ in sorted(scopes.items(), key=lambda kv: -kv[1]):
+        r = roofline.get(k)
+        if r:
+            print(f"  {k:24s} {r['ms']:8.2f}  {r['tflops_per_s']:7.2f} "
+                  f"{r['pct_mxu_peak']:5.1f}%  {r['gbps']:7.1f} "
+                  f"{r['pct_hbm_peak']:5.1f}%")
     print("\ntop ops (device ms, category, scope):")
     for name, (dur, cat, scope) in sorted(ops.items(), key=lambda kv: -kv[1][0])[
         : args.top

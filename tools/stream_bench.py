@@ -32,6 +32,12 @@ ap.add_argument("--streams", type=int, default=1,
 ap.add_argument("--hd", action="store_true",
                 help="1080p frames (config 4's resolution) instead of the "
                      "reference contract's 720p")
+ap.add_argument("--threaded", action="store_true",
+                help="per-stream host worker threads (MultiStreamRunner "
+                     "threaded mode): tracker/detector bookkeeping and "
+                     "finalize readbacks run off the submit path, overlapping "
+                     "across streams instead of serializing on one host "
+                     "thread (VERDICT r4 #3)")
 args = ap.parse_args()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -116,19 +122,23 @@ if args.streams > 1:
     multi = streaming.MultiStreamRunner(
         models, cad_bank, K, (H, W), n_vehicles=V, n_streams=args.streams,
         make_detector=make_bgdiff, n_steps=S, depth=2, min_track_frames=2,
-        overlap_detect=not args.no_overlap,
+        overlap_detect=not args.no_overlap, threaded=args.threaded,
     )
     for t in range(8):  # warm-up: tracks + the one shared compile
         for i in range(args.streams):
             multi.submit_frame(i, make_frame(t, phase=i))
     multi.flush()
 
+    # Pre-build frames so synthetic-frame generation stays out of the timed
+    # window (it would otherwise serialize on the submitting thread either way).
     N = 30
+    frames = [[make_frame(t, phase=i) for i in range(args.streams)]
+              for t in range(8, 8 + N)]
     t0 = time.perf_counter()
     scenes = 0
-    for t in range(8, 8 + N):
+    for t in range(N):
         for i in range(args.streams):
-            out, _tracks = multi.submit_frame(i, make_frame(t, phase=i))
+            out, _tracks = multi.submit_frame(i, frames[t][i])
             scenes += out is not None
     scenes += sum(len(r) for r in multi.flush())
     dt = time.perf_counter() - t0
@@ -138,7 +148,7 @@ if args.streams > 1:
         "resolution": f"{W}x{H}", "scenes": scenes, "wall_s": round(dt, 3),
         "composited_fps": round(fps, 2),
         "per_stream_fps": round(fps / args.streams, 2),
-        "detector": args.detector,
+        "detector": args.detector, "threaded": bool(args.threaded),
     }))
     raise SystemExit(0)
 
