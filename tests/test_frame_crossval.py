@@ -273,9 +273,21 @@ def test_traj_test_composite_crossval(ref_traj, tmp_path, monkeypatch, weights):
             np.float32
         )
 
+    # Pose pitch: -pi/3. Until round 5 this was -pi/2.3, which put the
+    # REFERENCE'S OWN CPC PnP in a wrong convergence basin (reprojection error
+    # 373 vs our solver's 0.17 on identical keypoints; its best-of-4-restarts
+    # R was ~90deg off GT) — the frame comparison then measured the
+    # reference's pose failure, not implementation parity, and the bad pose
+    # made its per-step loop silently break after step 1 (frames 2-5 were raw
+    # background on the ref side; its bare try/excepts hid both,
+    # trajectory_inference.py:252-253,444-445). At -pi/3 both solvers agree
+    # with GT (ref err 0.48, ours 0.22 — measured sweep in the round-5 notes,
+    # PARITY.md "Fidelity attribution") and the recorder below verifies the
+    # reference really synthesizes every step. The old adversarial pose is
+    # kept as an explicit robustness pin: test_pnp_robustness_advantage.
     ext = np.eye(4)
     ext[:3, :3] = np.asarray(
-        x_rot(jnp.float64(-np.pi / 2.3)) @ z_rot(jnp.float64(0.7)), np.float64
+        x_rot(jnp.float64(-np.pi / 3.0)) @ z_rot(jnp.float64(0.7)), np.float64
     )
     ext[:3, 3] = [0.5, 2.0, 22.0]
     rvec_gt = None  # reference recovers pose itself via CPC
@@ -403,13 +415,39 @@ def test_traj_test_composite_crossval(ref_traj, tmp_path, monkeypatch, weights):
     assert net_img.shape == (256, 256, 3)
 
     monkeypatch.chdir(tmp_path)
+    dump = os.environ.get("FUSG_CROSSVAL_DUMP")
+
+    # Record the EXACT 21ch inputs the reference feeds its ICN per step. Two
+    # jobs: (a) the all-steps guard below — the reference's bare per-step
+    # try/except (trajectory_inference.py:444-445) can silently break out of
+    # the future loop, leaving frames 2-5 as raw background and turning the
+    # later-frame SSIMs into vehicle-vs-nothing comparisons (this HAPPENED
+    # with the pre-round-5 pose; see the pose comment above); (b) with
+    # FUSG_CROSSVAL_DUMP set, the input-side ground truth for attributing
+    # generator divergence separately from input deltas.
+    ref_icn_inputs: list = []
+
+    class _Recorder(torch.nn.Module):
+        def __init__(self, net):
+            super().__init__()
+            self.net = net
+
+        def forward(self, x):
+            ref_icn_inputs.append(x.detach().cpu().numpy().copy())
+            return self.net(x)
+
+    icn_for_ref = _Recorder(t_icn)
     # NOT under torch.no_grad(): the reference's CPC PnP differentiates through
     # torch autograd (utils/cpc.py:24-37); its perception block guards itself.
     ti.traj_test(
         args, _FakeCap(), 1, frame_u8.copy(), [bbox_xyxy], trajectories,
         inv_h, 1.0, 1.0, "cpu", None, None, None, None,
-        _ConstCad(), _ConstKP(heat), t_icn, t_vunet,
+        _ConstCad(), _ConstKP(heat), icn_for_ref, t_vunet,
         [ply], [kp3d_dict], False,
+    )
+    assert len(ref_icn_inputs) == T, (
+        f"reference synthesized only {len(ref_icn_inputs)}/{T} steps — its "
+        "silent per-step break fired; the comparison would be vacuous"
     )
     ref_icn = np.stack([
         cv2.imread(str(tmp_path / "results" / "warp&learn" / "S01_c001" / f"{i:04}.png"))
@@ -457,6 +495,38 @@ def test_traj_test_composite_crossval(ref_traj, tmp_path, monkeypatch, weights):
             models, cad_bank, frame_rgb, bg_rgb, perception,
             jnp.asarray(np.float32(meters)), jnp.asarray(np.float32(K_CAM)),
         )
+        ours_icn_inputs = None
+        if dump:
+            # Reconstruct OUR side's 21ch ICN input exactly as _generate_core
+            # assembles it (geometry outputs + plane warps + signed-LAB concat)
+            # so the input-side delta between implementations is measurable
+            # directly, independent of the generators that amplify it.
+            geom = runner._scene_geometry(
+                models, cad_bank, frame_rgb, perception,
+                jnp.asarray(np.float32(meters)), jnp.asarray(np.float32(K_CAM)),
+            )
+            (sketches, veh_masks, win_fields, visibilities, polys,
+             src_packed, central_lab, src_win_fields, _err) = geom
+            src_window0 = stages.cr.Window(*(f[0] for f in src_win_fields))
+
+            def _warp_step(window_fields_s, vis_s, polys_s):
+                return stages.warp_planes_to_crop(
+                    src_packed[0], src_window0, polys[0][0], polys_s,
+                    visibilities[0][0], vis_s,
+                    stages.cr.Window(*window_fields_s),
+                )
+
+            planes_v0 = jax.vmap(_warp_step)(
+                tuple(f[0] for f in win_fields), visibilities[0], polys[0]
+            )  # (S, 5, 256, 256, 3) signed LAB
+            sketch_lab = stages._to_signed_lab(sketches[0])  # (S, 256, 256, 3)
+            planes_cat = jnp.moveaxis(planes_v0, 1, 3).reshape(
+                planes_v0.shape[:1] + planes_v0.shape[2:4] + (-1,)
+            )
+            central_rep = jnp.repeat(central_lab, sketch_lab.shape[0], axis=0)
+            ours_icn_inputs = np.asarray(
+                jnp.concatenate([sketch_lab, central_rep, planes_cat], axis=-1)
+            )  # (S, 256, 256, 21) — NHWC; reference records NCHW
     finally:
         stages.MODEL_SPEC.update(old_spec)
 
@@ -471,35 +541,125 @@ def test_traj_test_composite_crossval(ref_traj, tmp_path, monkeypatch, weights):
     print("frame SSIM vunet:", [f"{v:.4f}" for v in vun_ssims])
 
     # Attribution hook (tools/fidelity_attribution.py): dump both sides'
-    # frames + the vehicle mask so the SSIM deficit can be localized offline.
-    dump = os.environ.get("FUSG_CROSSVAL_DUMP")
+    # frames + the vehicle mask so the SSIM deficit can be localized offline,
+    # plus both sides' per-step ICN INPUT tensors (ours NHWC, ref NCHW) so
+    # input-side deltas separate from generator amplification.
     if dump:
         os.makedirs(dump, exist_ok=True)
+        extra = {}
+        if ours_icn_inputs is not None and ref_icn_inputs:
+            extra = dict(
+                ours_icn_inputs=ours_icn_inputs,
+                ref_icn_inputs=np.concatenate(ref_icn_inputs, axis=0),
+            )
         np.savez_compressed(
             os.path.join(dump, f"crossval_frames_{weights}.npz"),
             ref_icn=ref_icn, ref_vun=ref_vun, ours_icn=ours_icn,
             ours_vun=ours_vun, veh_mask=np.asarray(veh_region),
             bg=bg_u8, icn_ssims=np.asarray(icn_ssims),
-            vun_ssims=np.asarray(vun_ssims),
+            vun_ssims=np.asarray(vun_ssims), **extra,
         )
 
-    # Full-frame SSIM: backgrounds are identical, the vehicle occupies a small
-    # window whose content agrees up to the documented resample-chain deltas
-    # (PARITY.md §1-3: crop-window rendering, single-resample warps).
-    # random: measured icn 0.964-0.997, vunet 0.983-0.998 per frame — the
-    # deficit is attributed in PARITY.md "Fidelity attribution": composite
-    # background exact to 3e-6; all deficit inside the <3% vehicle footprint,
-    # where RANDOM-weight generators amplify ~1e-2 input deltas into texture
-    # decorrelation (worst case vs trained checkpoints).
-    # trained: the same scene with framework-trained weights in both sides
-    # (the north-star measurement; band recorded in PARITY.md). Floors =
-    # measured minima minus tolerance (VERDICT r4 #8).
+    # Full-frame SSIM floors = measured minima minus a small tolerance
+    # (VERDICT r4 #8), on the corrected pose where the reference's own CPC
+    # converges (see the pose comment above; full history in PARITY.md
+    # "Fidelity attribution").
+    # random (round-5 measured): icn 0.9866-0.9959, vunet 0.9904-0.9972 —
+    # random-weight generators amplify the ~1e-2 input deltas (sketch IoU
+    # 0.95 at s0, degrading to 0.84 at s5 as the two sides' slightly
+    # different PnP minima compound through the rollout).
+    # trained (round-5 measured, framework-trained weights in BOTH sides via
+    # the exported .pth zoo): icn 0.9937-0.9970 — the ICN branch MEETS the
+    # SSIM>=0.99 north star; vunet 0.9873-0.9965, worst frame 0.987 where
+    # the appearance path sees the pose-seed delta (both solvers converge on
+    # this scene, to minima 0.48 vs 0.22 px reprojection — a seed
+    # difference, not an implementation infidelity; the rollout magnifies it
+    # with step index, and VUNet's masked-appearance crop is window-aligned
+    # to that pose).
     icn_floor, vun_floor = {
-        "random": (0.96, 0.98),
-        "trained": (0.99, 0.99),
+        "random": (0.985, 0.988),
+        "trained": (0.99, 0.985),
     }[weights]
     assert min(icn_ssims) > icn_floor, icn_ssims
     assert min(vun_ssims) > vun_floor, vun_ssims
 
     # And the integration actually synthesized a vehicle on our side too.
     assert np.abs(ours_icn[0] - np.asarray(bg_rgb)[..., ::-1])[veh_region].max() > 0.05
+
+
+def test_pnp_robustness_advantage(ref_traj):
+    """The crossval scene's PRE-round-5 pose (pitch -pi/2.3, a steep
+    overhead view) is a measured failure case for the reference's own CPC
+    PnP: its best-of-4-canonical-restarts LM lands in a wrong basin
+    (reprojection error ~373, R ~90deg off GT) while this framework's
+    vmapped-restart solver recovers the true pose (err ~0.2) from identical
+    quantized keypoints. Pinned here (a) as the documented reason the frame
+    crossval moved to -pi/3 — final-frame parity is only meaningful where
+    the reference itself succeeds — and (b) as a robustness advantage of
+    the branchless solver (geometry/pnp.py) over utils/cpc.py:47-135 +
+    pnp_utils.py:43-130 on steep viewing angles."""
+    import importlib
+
+    from future_urban_scene_generation_tpu.geometry.projection import (
+        project_points_extrinsic,
+    )
+    from future_urban_scene_generation_tpu.geometry.rotations import (
+        rodrigues_to_matrix,
+        x_rot,
+        z_rot,
+    )
+    from future_urban_scene_generation_tpu.ops import crop as cr
+    from future_urban_scene_generation_tpu.pipeline import runner, stages
+    from future_urban_scene_generation_tpu.utils import mesh as mu
+
+    sq = ref_traj["utils.crop_utils"].square_crop_from_bbox
+    pnp_utils = importlib.import_module("utils.pnp_utils")
+    import cv2
+
+    mesh, kp3d_unit = mu.make_test_car(subdiv=2)
+    kp3d_scaled = np.asarray(kp3d_unit, np.float64) * 5.0
+    ext = np.eye(4)
+    ext[:3, :3] = np.asarray(
+        x_rot(jnp.float64(-np.pi / 2.3)) @ z_rot(jnp.float64(0.7)), np.float64
+    )
+    ext[:3, 3] = [0.5, 2.0, 22.0]
+    kp2d_gt = np.asarray(
+        project_points_extrinsic(
+            jnp.asarray(np.float32(kp3d_scaled)),
+            jnp.asarray(np.float32(K_CAM)),
+            jnp.asarray(np.float32(ext)),
+        )
+    )
+    x0, y0 = kp2d_gt.min(0) - 6
+    x1, y1 = kp2d_gt.max(0) + 6
+    bbox = [float(int(x0)), float(int(y0)), float(int(x1)), float(int(y1))]
+    crop_ref, xy_min, xy_pad, _, _, _ = sq(np.zeros((H, W, 3), np.uint8), bbox)
+    bw = crop_ref.shape[1]
+    cells = np.clip(
+        ((kp2d_gt - np.asarray(xy_min) + np.asarray(xy_pad)) / bw * 64).astype(int),
+        0, 63,
+    )
+    kp_dec = cells / 64.0 * bw + np.asarray(xy_min) - np.asarray(xy_pad)
+
+    err_ref, rv_ref, _tv_ref = pnp_utils.cpc_rodr_4_angles(
+        [K_CAM[0, 0], K_CAM[1, 1]], [K_CAM[0, 2], K_CAM[1, 2]],
+        kp_dec, kp3d_scaled,
+    )
+    r_ref = cv2.Rodrigues(np.asarray(rv_ref, np.float64))[0]
+
+    cad_bank = runner.build_cad_bank([mesh], [np.float32(kp3d_unit)], scale=5.0)
+    window = jax.vmap(cr.square_window_from_bbox)(jnp.asarray(np.float32([bbox])))
+    perc = stages.Perception(
+        cad_idx=jnp.zeros(1, jnp.int32),
+        kp_frame=jnp.asarray(np.float32(kp_dec))[None],
+        window=window, crop=jnp.zeros((1, 256, 256, 3)),
+    )
+    err_ours, rv_ours, _tv = stages.solve_poses(
+        perc, cad_bank, jnp.asarray(np.float32(K_CAM))
+    )
+    r_ours = np.asarray(rodrigues_to_matrix(rv_ours[0]))
+
+    assert float(err_ref) > 50.0, "reference CPC unexpectedly converged"
+    assert np.abs(r_ref - ext[:3, :3]).max() > 0.5  # its pose is far off GT
+    assert float(np.asarray(err_ours)[0]) < 1.0  # ours converged...
+    assert np.abs(r_ours - ext[:3, :3]).max() < 0.05  # ...onto the true pose
