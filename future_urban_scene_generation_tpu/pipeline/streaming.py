@@ -41,6 +41,7 @@ class StreamRunner:
         vis_res: int = 192,
         depth: int = 2,
         mesh=None,
+        inflight_gate=None,
     ):
         self.models = models
         self.cad_bank = cad_bank
@@ -50,6 +51,11 @@ class StreamRunner:
         self.n_steps = n_steps
         self.vis_res = vis_res
         self.mesh = mesh  # None = single device; else vehicle axis shards over it
+        # Optional shared threading.BoundedSemaphore: each in-flight scene
+        # holds one permit from dispatch to drain, bounding TOTAL device-side
+        # in-flight scenes across streams (MultiStreamRunner threaded mode —
+        # per-stream depth alone cannot bound the sum; see its HBM comment).
+        self._gate = inflight_gate
         self._inflight: Deque = collections.deque()
         self.depth = depth
         self.latencies: list = []
@@ -80,6 +86,8 @@ class StreamRunner:
         return jax.device_put(jnp.asarray(img, jnp.float32))
 
     def _run_scene(self, frame_d, bg_d, b, m):
+        if self._gate is not None:
+            self._gate.acquire()  # released by _drain_one after readback
         if self.mesh is not None:
             return _runner.run_scene_sharded(
                 self.models, self.cad_bank, frame_d, bg_d,
@@ -92,6 +100,24 @@ class StreamRunner:
             vis_res=self.vis_res,
         )
 
+    def _submit_scene(self, t0, frame_d, bg_d, b, m):
+        """Dispatch one scene into the pipeline; returns a drained result or
+        None while the pipeline fills. GATED mode drains (releasing a permit)
+        BEFORE dispatching (acquiring) when the pipeline is full: a worker
+        must never block in acquire while sitting on a full depth's permits,
+        or N workers can mutually starve — release-before-acquire plus
+        depth <= gate/n_streams (MultiStreamRunner) makes the gate
+        deadlock-free. Ungated callers keep the original
+        dispatch-then-drain order (steady state depth-1 in flight)."""
+        out = None
+        if self._gate is not None and len(self._inflight) >= self.depth:
+            out = self._drain_one()
+        result = self._run_scene(frame_d, bg_d, b, m)
+        self._inflight.append((t0, result))
+        if out is None and self._gate is None and len(self._inflight) >= self.depth:
+            out = self._drain_one()
+        return out
+
     def submit(self, frame: np.ndarray, bboxes, meters, background: Optional[np.ndarray] = None):
         """Enqueue one scene; returns the OLDEST completed result once the pipeline
         depth is reached (None while filling). ``frame``/``background`` may be
@@ -100,11 +126,7 @@ class StreamRunner:
         frame_d = self._upload(frame)
         bg_d = self._upload(background) if background is not None else frame_d
         b, m = self._pad(bboxes, meters)
-        result = self._run_scene(frame_d, bg_d, b, m)
-        self._inflight.append((t0, result))
-        if len(self._inflight) < self.depth:
-            return None
-        return self._drain_one()
+        return self._submit_scene(t0, frame_d, bg_d, b, m)
 
     def _drain_one(self):
         t0, result = self._inflight.popleft()
@@ -112,6 +134,8 @@ class StreamRunner:
             self._t_first_submit = t0
         self._t_first_submit = min(self._t_first_submit, t0)
         jax.block_until_ready(result.frames_icn)
+        if self._gate is not None:
+            self._gate.release()
         now = time.perf_counter()
         self.latencies.append(now - t0)
         self._t_last_drain = now
@@ -240,11 +264,7 @@ class TrackingStreamRunner(StreamRunner):
         bg_d = self._upload(background) if background is not None else frame_d
         b, m = self._pad(np.stack(sel_boxes), np.stack(sel_meters))
         t0 = time.perf_counter()
-        result = self._run_scene(frame_d, bg_d, b, m)
-        self._inflight.append((t0, result))
-        if len(self._inflight) < self.depth:
-            return None, confirmed
-        return self._drain_one(), confirmed
+        return self._submit_scene(t0, frame_d, bg_d, b, m), confirmed
 
 
 class MultiStreamRunner:
@@ -276,9 +296,15 @@ class MultiStreamRunner:
     the submit path becomes a queue put. Per-stream state stays single-owner
     (each worker owns exactly its stream — no locks); the device serializes
     programs on its FIFO queue exactly as before. In threaded mode
-    ``submit_frame`` is fire-and-forget (returns (None, [])) and completed
-    results accumulate in ``results[stream_idx]``; ``flush()`` barriers the
-    queues and returns the per-stream lists (queued + drained).
+    ``submit_frame`` is fire-and-forget (returns (None, [])); drained results
+    go to ``on_result(stream_idx, result)`` in the worker thread if given,
+    else accumulate in ``results[stream_idx]`` until ``flush()``. PASS
+    ``on_result`` (consume-and-release) FOR LONG RUNS: each retained
+    SceneResult pins both (S, H, W, 3) output stacks in device HBM (~130 MB
+    at 720p, ~300 MB at 1080p) — accumulating a 30-frame benchmark's results
+    across 4 streams measured RESOURCE_EXHAUSTED on the 16 GB chip before
+    this was understood (the in-flight pipeline was never the problem; the
+    result backlog was).
 
     ``meshes`` (optional, one per stream): run each stream's scene program
     with its vehicle axis sharded over that stream's mesh
@@ -290,21 +316,48 @@ class MultiStreamRunner:
 
     def __init__(self, models, cad_bank, intrinsic, frame_hw, n_vehicles,
                  n_streams: int, make_detector, inv_homographies=None,
-                 threaded: bool = False, meshes=None,
-                 **kwargs):
+                 threaded: bool = False, meshes=None, max_inflight=None,
+                 on_result=None, **kwargs):
         if inv_homographies is None:
             inv_homographies = [None] * n_streams
         if meshes is None:
             meshes = [None] * n_streams
+        gate = None
+        if threaded:
+            # Bound TOTAL in-flight scenes across streams with one shared
+            # semaphore (each scene holds a permit from dispatch to drain):
+            # every in-flight scene pins its input frames + both (S, H, W, 3)
+            # output stacks in HBM, and with per-stream workers the submit
+            # side no longer self-throttles the way the round-robin host
+            # loop did. Default budget 6, measured best of {2, 6, 8} on the
+            # chip: 8 (4 streams x depth 2) measured SLOWER than 6 (depth 1
+            # + cross-stream lookahead) at 4x720p — permit contention at
+            # gate == demand thrashes — and the area-scaled 2 measured 19%
+            # slower at 2x1080p by serializing each stream; 6 keeps depth 2
+            # for <=3 streams and 4-deep cross-stream lookahead at 4. Workers
+            # holding a full depth's permits release one (drain) BEFORE
+            # acquiring the next; with depth <= gate/n_streams that is
+            # deadlock-free — a blocked depth-1 worker holds no permit, and
+            # the permit-holders can always reach their own drain
+            # (StreamRunner._submit_scene).
+            import threading
+
+            if max_inflight is None:
+                max_inflight = 6
+            max_inflight = int(max_inflight)
+            gate = threading.BoundedSemaphore(max_inflight)
+            kwargs["depth"] = max(1, min(int(kwargs.pop("depth", 2)),
+                                         max_inflight // max(n_streams, 1)))
         self.streams = [
             TrackingStreamRunner(
                 models, cad_bank, intrinsic, frame_hw, n_vehicles,
                 detector=make_detector(i), inv_homography=inv_homographies[i],
-                mesh=meshes[i], **kwargs,
+                mesh=meshes[i], inflight_gate=gate, **kwargs,
             )
             for i in range(n_streams)
         ]
         self.threaded = bool(threaded)
+        self.on_result = on_result  # see class docstring: consume-and-release
         self.results = [[] for _ in range(n_streams)]
         if self.threaded:
             import queue
@@ -332,7 +385,10 @@ class MultiStreamRunner:
                 if self._errors[i] is None:  # fail-fast: skip after first error
                     out, _tracks = self.streams[i].submit_frame(*item)
                     if out is not None:
-                        self.results[i].append(out)
+                        if self.on_result is not None:
+                            self.on_result(i, out)  # consumed; buffers free
+                        else:
+                            self.results[i].append(out)
             except Exception as e:  # surfaced on the next submit/flush
                 self._errors[i] = e
             finally:
@@ -363,7 +419,13 @@ class MultiStreamRunner:
         out = []
         for i, s in enumerate(self.streams):
             drained, self.results[i] = self.results[i], []
-            out.append(drained + s.flush())
+            tail = s.flush()
+            if self.on_result is not None:
+                for r in tail:
+                    self.on_result(i, r)
+                out.append(drained)  # worker results already consumed
+            else:
+                out.append(drained + tail)
         return out
 
     def close(self):

@@ -227,10 +227,15 @@ def test_multi_stream_runner_two_cameras(threaded):
             jnp.asarray(bgs[i]), scale=8, min_area_px=100
         )
 
+    # Threaded mode uses the production consumption contract: on_result is
+    # called from the worker threads as scenes drain (retaining results
+    # instead pins their HBM buffers — MultiStreamRunner docstring).
+    consumed = [[], []]
     multi = streaming.MultiStreamRunner(
         models, cad_bank, K, (H, W), n_vehicles=1, n_streams=2,
         make_detector=make_detector, n_steps=3, depth=1, min_track_frames=2,
         overlap_detect=False, threaded=threaded,
+        on_result=(lambda i, r: consumed[i].append(r)) if threaded else None,
     )
 
     results = [[], []]
@@ -253,6 +258,8 @@ def test_multi_stream_runner_two_cameras(threaded):
     for i, extra in enumerate(multi.flush()):
         results[i].extend(extra)
     if threaded:
+        for i in range(2):  # worker + flush-tail results arrive via on_result
+            results[i].extend(consumed[i])
         tracked = [len(s.tracker.confirmed()) for s in multi.streams]
         multi.close()
 

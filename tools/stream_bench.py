@@ -119,15 +119,26 @@ if args.streams > 1:
     # wall clock across all streams.
     if args.detector != "bgdiff":
         raise SystemExit("--streams currently benches the bgdiff front-end")
+    # Threaded mode consumes results as they drain (one tiny readback each —
+    # the host-verified pattern); retaining every SceneResult would pin both
+    # output stacks per scene in HBM (streaming.MultiStreamRunner docstring).
+    consumed = [0]
+
+    def consume(_i, res):
+        _ = float(res.frames_icn[0, 0, 0, 0])
+        consumed[0] += 1
+
     multi = streaming.MultiStreamRunner(
         models, cad_bank, K, (H, W), n_vehicles=V, n_streams=args.streams,
         make_detector=make_bgdiff, n_steps=S, depth=2, min_track_frames=2,
         overlap_detect=not args.no_overlap, threaded=args.threaded,
+        on_result=consume if args.threaded else None,
     )
     for t in range(8):  # warm-up: tracks + the one shared compile
         for i in range(args.streams):
             multi.submit_frame(i, make_frame(t, phase=i))
     multi.flush()
+    consumed[0] = 0
 
     # Pre-build frames so synthetic-frame generation stays out of the timed
     # window (it would otherwise serialize on the submitting thread either way).
@@ -140,7 +151,7 @@ if args.streams > 1:
         for i in range(args.streams):
             out, _tracks = multi.submit_frame(i, frames[t][i])
             scenes += out is not None
-    scenes += sum(len(r) for r in multi.flush())
+    scenes += sum(len(r) for r in multi.flush()) + consumed[0]
     dt = time.perf_counter() - t0
     fps = scenes * 2 * S / dt
     print(json.dumps({
