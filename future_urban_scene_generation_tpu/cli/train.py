@@ -139,6 +139,10 @@ def main(argv=None):
     elif args.model == "hourglass":
         from future_urban_scene_generation_tpu.ops.heatmap import heatmaps_from_kpoints
 
+        # Learnable localization data: sketch renders of a 10-variant CAD bank
+        # with the projected CAD keypoints as targets (datagen.hourglass_batch;
+        # replaces the earlier random-image/random-keypoint mechanics demo).
+        class_bank = _variant_cad_bank(build_cad_bank)
         trainer = training.HourglassTrainer(lr=args.lr)
         params, opt_state = trainer.init(key, hw=(s, s))
         if args.resume and ckpt_path.exists():
@@ -146,14 +150,20 @@ def main(argv=None):
         step_fn = jax.jit(trainer.train_step)
         for i in range(args.steps):
             key, sub = jax.random.split(key)
-            images = jax.random.uniform(sub, (args.batch, s, s, 3))
-            kps = jax.random.uniform(sub, (args.batch, 12, 2)) * 0.8 + 0.1
+            sample = datagen.hourglass_batch(sub, class_bank, intrinsic, batch=args.batch)
+            images = sample.images
+            if s != 256:
+                images = jax.image.resize(images, (args.batch, s, s, 3), "linear")
             targets = jax.vmap(
                 lambda k: heatmaps_from_kpoints(k, (s // 4, s // 4), sigma=2.0)
-            )(kps)
+            )(sample.kp_norm)
             params, opt_state, metrics = step_fn(params, opt_state, images, targets)
             _maybe_log_save(args, logger, checkpoint, ckpt_path, (params, opt_state), i, metrics)
     elif args.model == "cad":
+        # Real discrimination task: classify which of 10 distinct CAD variants
+        # produced the sketch (datagen.cad_batch; the earlier random labels
+        # pinned the loss at ln(10) by construction).
+        class_bank = _variant_cad_bank(build_cad_bank)
         trainer = training.CadClassifierTrainer(lr=args.lr)
         params, opt_state = trainer.init(key, hw=(s, s))
         if args.resume and ckpt_path.exists():
@@ -161,13 +171,33 @@ def main(argv=None):
         step_fn = jax.jit(trainer.train_step)
         for i in range(args.steps):
             key, sub = jax.random.split(key)
-            images = jax.random.uniform(sub, (args.batch, s, s, 3))
-            labels = jax.random.randint(sub, (args.batch,), 0, 10)
-            params, opt_state, metrics = step_fn(params, opt_state, images, labels)
+            sample = datagen.cad_batch(sub, class_bank, intrinsic, batch=args.batch)
+            images = sample.images
+            if s != 256:
+                images = jax.image.resize(images, (args.batch, s, s, 3), "linear")
+            params, opt_state, metrics = step_fn(params, opt_state, images, sample.labels)
             _maybe_log_save(args, logger, checkpoint, ckpt_path, (params, opt_state), i, metrics)
 
     print(f"trained {args.model} for {args.steps} steps; artifacts in {args.out}")
     return 0
+
+
+def _variant_cad_bank(build_cad_bank):
+    """10 geometrically distinct test-car variants — the classification/keypoint
+    data bank, mirroring the reference's 10-CAD zoo (run_test.py:146-153) and
+    bench.py's asset profile (same dimension staggering)."""
+    from future_urban_scene_generation_tpu.utils.mesh import make_test_car
+
+    meshes_kps = [
+        make_test_car(
+            length=1.0 + 0.05 * i, width=0.42 + 0.015 * (i % 3),
+            height=0.30 + 0.01 * (i % 4), subdiv=2,
+        )
+        for i in range(10)
+    ]
+    return build_cad_bank(
+        [m for m, _ in meshes_kps], [k for _, k in meshes_kps], scale=5.0
+    )
 
 
 def _load_vgg_features(path, key, image_size: int):

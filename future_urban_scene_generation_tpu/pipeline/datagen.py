@@ -36,6 +36,16 @@ class ICNSample(NamedTuple):
     targets: jnp.ndarray  # (B, 256, 256, 3) LAB [-1, 1]
 
 
+class CadSample(NamedTuple):
+    images: jnp.ndarray  # (B, 256, 256, 3) [0, 1] sketch renders
+    labels: jnp.ndarray  # (B,) int32 CAD-bank index
+
+
+class HourglassSample(NamedTuple):
+    images: jnp.ndarray  # (B, 256, 256, 3) [0, 1] sketch renders
+    kp_norm: jnp.ndarray  # (B, 12, 2) keypoints in crop coords, [0, 1]
+
+
 class VunetSample(NamedTuple):
     y_tilde: jnp.ndarray  # (B, 256, 256, 3) [-1, 1]
     x_app: jnp.ndarray  # (B, 256, 256, 6) [-1, 1]
@@ -156,6 +166,67 @@ def _vunet_batch_impl(
     keys = jax.random.split(key, batch)
     y, x, t = jax.vmap(one)(keys)
     return VunetSample(y, x, t)
+
+
+def cad_batch(key, cad_bank, intrinsic, batch: int = 8) -> CadSample:
+    """Classification pairs for the CAD-classifier trainer: a random bank entry
+    rendered at a random pose, labeled by its bank index. The reference's
+    classifier picks which of 10 Pascal3D+ CADs matches a real crop
+    (run_test.py:45-58); this synthetic stand-in makes the discrimination task
+    REAL (shape-dependent sketches) rather than the earlier random-label
+    mechanics demo whose loss sat at ln(10) by construction."""
+    return _cad_batch_impl(key, cad_bank, intrinsic, batch=batch,
+                           spec=stages.spec_key())
+
+
+@partial(jax.jit, static_argnames=("batch", "spec"))
+def _cad_batch_impl(key, cad_bank, intrinsic, batch, spec) -> CadSample:
+    def one(k):
+        kc, kp_ = jax.random.split(k)
+        cad_idx = jax.random.randint(kc, (), 0, cad_bank.vertices.shape[0])
+        ext = _random_pose(kp_, intrinsic)
+        sketch, _mask, _win = stages.render_vehicle(
+            cad_bank.vertices[cad_idx], cad_bank.corners[cad_idx],
+            cad_bank.corner_normals[cad_idx], ext, intrinsic,
+            jnp.float32(0.0), jnp.zeros(3),
+        )
+        return sketch, cad_idx
+
+    keys = jax.random.split(key, batch)
+    images, labels = jax.vmap(one)(keys)
+    return CadSample(images, labels.astype(jnp.int32))
+
+
+def hourglass_batch(key, cad_bank, intrinsic, batch: int = 4) -> HourglassSample:
+    """Keypoint pairs for the hourglass trainer: sketch renders + the 12 CAD
+    keypoints projected into the crop window, normalized to [0, 1] (the
+    coordinate frame get_maxima decodes to, utils/keypoint_utils.py:66-92).
+    Replaces the earlier random-image/random-keypoint mechanics demo with a
+    learnable localization task."""
+    return _hourglass_batch_impl(key, cad_bank, intrinsic, batch=batch,
+                                 spec=stages.spec_key())
+
+
+@partial(jax.jit, static_argnames=("batch", "spec"))
+def _hourglass_batch_impl(key, cad_bank, intrinsic, batch, spec) -> HourglassSample:
+    def one(k):
+        kc, kp_ = jax.random.split(k)
+        cad_idx = jax.random.randint(kc, (), 0, cad_bank.vertices.shape[0])
+        ext = _random_pose(kp_, intrinsic)
+        sketch, _mask, win = stages.render_vehicle(
+            cad_bank.vertices[cad_idx], cad_bank.corners[cad_idx],
+            cad_bank.corner_normals[cad_idx], ext, intrinsic,
+            jnp.float32(0.0), jnp.zeros(3),
+        )
+        kp2d = project_points_extrinsic(
+            cad_bank.keypoints3d[cad_idx], intrinsic, ext
+        )
+        kp_norm = (kp2d - jnp.stack([win.x_start, win.y_start])) / win.w
+        return sketch, jnp.clip(kp_norm, 0.0, 1.0)
+
+    keys = jax.random.split(key, batch)
+    images, kps = jax.vmap(one)(keys)
+    return HourglassSample(images, kps)
 
 
 @partial(jax.jit, static_argnames=("sigma",))
