@@ -50,7 +50,7 @@ def test_train_export_serve_chain(tmp_path):
     )
 
     runs = {}
-    for model in ("hourglass", "icn"):
+    for model in ("hourglass", "icn", "cad"):
         out = tmp_path / f"run_{model}"
         rc = train.main([
             "--model", model, "--steps", "2", "--batch", "2",
@@ -66,11 +66,15 @@ def test_train_export_serve_chain(tmp_path):
         assert dest.exists()
     assert (ckpt_root / "kpoints" / "hourglass.pth").exists()
     assert (ckpt_root / "icn" / "256_synth" / "gnet_00020.pth").exists()
+    assert (ckpt_root / "cads" / "model.pth").exists()
 
-    # Serve path: the zoo converter must land exactly on the trained weights.
+    # Serve path: the zoo converter must land exactly on the trained weights
+    # (cad additionally pins the trunk-nesting round trip: the flax classifier
+    # holds features_* under 'trunk', the torch layout is flat — export
+    # flattens, import re-nests).
     zoo = checkpoint.load_reference_model_zoo(ckpt_root, cache=False)
-    assert set(zoo) >= {"hourglass", "icn"}
-    for model in ("hourglass", "icn"):
+    assert set(zoo) >= {"hourglass", "icn", "cad"}
+    for model in ("hourglass", "icn", "cad"):
         trained = export_zoo.generator_params(
             checkpoint.restore(runs[model] / "checkpoint")
         )

@@ -66,6 +66,15 @@ def export_run(model: str, run_dir: Path, out_root: Path, template: dict,
     ckpt = run_dir / "checkpoint" if (run_dir / "checkpoint").exists() else run_dir
     state = checkpoint.restore(ckpt)
     params = generator_params(state)
+    if model == "cad":
+        # Inverse of convert_vgg19_classifier's import nesting: the flax
+        # VGG19Classifier holds the conv trunk under a 'trunk' submodule
+        # (models/vgg.py), while the torch template addresses features_* at
+        # top level next to classifier_*.
+        tree = params.get("params", params)
+        if "trunk" in tree:
+            tree = {k: v for k, v in tree.items() if k != "trunk"} | tree["trunk"]
+            params = {"params": tree}
     entry = template[model]
     sd_np = export_state_dict(
         params,
