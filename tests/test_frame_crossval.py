@@ -7,8 +7,9 @@ The reference's Open3D renderer cannot run here, so ``get_rendered``
 (warp_learn/render_open3d.py:29-50) is stubbed with THIS repo's rasterizer output
 at full frame resolution — everything else of the reference executes unmodified
 (read-only, never copied). Both sides share: the frame, the CAD mesh, identical
-decoded 2D keypoints, the same trajectory rows, and generator weights converted
-from the same random torch networks.
+decoded 2D keypoints, the same trajectory rows, and THE SAME generator weights —
+either a shared random torch init or (weights="trained", FUSG_TRAINED_ZOO) a
+framework-trained zoo exported to the reference's .pth layout.
 
 This pins the INTEGRATION ORDER (crop -> generator -> inverse-stitch coordinates
 -> mask composite, trajectory_inference.py:185-198, 369-442, 461-473), not just

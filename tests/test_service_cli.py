@@ -1,4 +1,6 @@
 """Headless CLI + SceneService end-to-end on a synthetic on-disk dataset."""
+from pathlib import Path
+
 import numpy as np
 import pytest
 import yaml
@@ -146,13 +148,29 @@ def test_warmup_cli_fills_cache(tmp_path):
     """cli.warmup precompiles the requested vehicle buckets into the
     persistent cache (the deploy-time answer to the cold-compile cliff,
     docs/SERVING.md): one run at a tiny shape compiles + executes the scene
-    program for each bucket and the cache directory is non-empty after."""
-    from future_urban_scene_generation_tpu.cli import warmup
+    program for each bucket and the cache directory is non-empty after.
+
+    Runs in a FRESH subprocess, as the CLI is deployed: jax binds its
+    compilation-cache object to the first configured directory per process,
+    so any earlier in-process test that compiled against the default repo
+    cache would make warmup's --cache-dir silently land there instead (this
+    is exactly why warmup is a process entry point, not a library call for
+    already-warm processes)."""
+    import subprocess
+    import sys
 
     cache = tmp_path / "cache"
-    warmup.main([
-        "--frame-hw", "96", "128", "--vehicles", "1", "--steps", "2",
-        "--generator-dtype", "float32", "--warp-plane-res", "64",
-        "--cache-dir", str(cache),
-    ])
+    repo = str(Path(__file__).resolve().parent.parent)
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "from future_urban_scene_generation_tpu.cli import warmup; "
+        "raise SystemExit(warmup.main(["
+        "'--frame-hw', '96', '128', '--vehicles', '1', '--steps', '2', "
+        "'--generator-dtype', 'float32', '--warp-plane-res', '64', "
+        "'--cache-dir', %r]))" % (repo, str(cache))
+    )
+    proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                          text=True, timeout=1200)
+    assert proc.returncode == 0, proc.stderr[-2000:]
     assert cache.is_dir() and any(cache.iterdir())
